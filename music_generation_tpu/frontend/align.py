@@ -1,0 +1,80 @@
+"""Score alignment: (lyrics, note names, note durations) -> model input arrays.
+
+This is the host-side preparation step in front of the SVS model: normalize the
+sentence to tone-marked phonemes, split each syllable into initial+final with
+the note/duration duplicated across both phones, then map everything to ids.
+Parity with Synthesiser.process_input_data / get_text
+(pipline_inference_svs_v6_multispeaker.py:58-126).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from .g2p import normalize_text
+from .lexicon import Lexicon, load_lexicon
+from .pitch import note_id
+from .vocab import PhonemeVocab, phone_vocab, shengdiao_vocab, split_syllable
+
+_TONE_RE = re.compile(r"[12345]")
+
+
+@dataclass(frozen=True)
+class ScoreInputs:
+    """Dense per-phone inputs for one sentence (numpy, unbatched)."""
+    phone_ids: np.ndarray        # int32 [T] toneless phone ids
+    note_ids: np.ndarray         # int32 [T] MIDI note ids (0 = rest)
+    note_durations: np.ndarray   # float32 [T] seconds
+    shengdiao_ids: np.ndarray    # int32 [T] tone-marked phone ids
+    phonemes: tuple[str, ...]    # tone-marked phoneme strings (debugging)
+
+
+class ScoreFrontend:
+    """Stateful bundle of the lexicon + both phoneme vocabularies."""
+
+    def __init__(self, lexicon: Lexicon | None = None):
+        self.lexicon = lexicon or load_lexicon()
+        self.phones: PhonemeVocab = phone_vocab()
+        self.shengdiao: PhonemeVocab = shengdiao_vocab()
+
+    def align(self, text: str, notes: list[str], note_durations: list[float]) -> ScoreInputs:
+        """Phonemize `text` and expand notes/durations across split syllables.
+
+        `notes`/`note_durations` must have one entry per syllable/pause of the
+        normalized text (same contract as the reference pipelines).
+        """
+        phonemes = normalize_text(text, word_parse=False, lexicon=self.lexicon)
+        phonemes = phonemes.replace(".", "").strip()
+        syllables = phonemes.replace("s p", "SP").replace("a p", "AP").split(" ")
+
+        ph_seq: list[str] = []
+        out_notes: list[str] = []
+        out_durs: list[float] = []
+        for pos, syl in enumerate(syllables):
+            units = (syl,) if syl in ("SP", "AP") else split_syllable(syl)
+            ph_seq.extend(units)
+            out_notes.extend([notes[pos]] * len(units))
+            out_durs.extend([float(note_durations[pos])] * len(units))
+
+        tone_str = " ".join(ph_seq).replace(",", "SP")
+        plain_str = _TONE_RE.sub("", tone_str)
+
+        return ScoreInputs(
+            phone_ids=np.asarray(self.phones.encode(plain_str), dtype=np.int32),
+            note_ids=np.asarray([note_id(n) for n in out_notes], dtype=np.int32),
+            note_durations=np.asarray(out_durs, dtype=np.float32),
+            shengdiao_ids=np.asarray(self.shengdiao.encode(tone_str), dtype=np.int32),
+            phonemes=tuple(tone_str.split(" ")),
+        )
+
+    def align_pipe_format(self, line: str) -> ScoreInputs:
+        """Parse the reference's 'name|lyrics|pitches|durations' text format
+        (pipline_inference_svs_v6_multispeaker.py:97-105)."""
+        metas = line.split("|")
+        text = metas[1].replace(" ", "")
+        notes = metas[2].split(" ")
+        durs = [float(x) for x in metas[3].split(" ")]
+        return self.align(text, notes, durs)
