@@ -1,0 +1,276 @@
+"""Melody transformers: lyric->note enc-dec, MSE duration, SDP duration.
+
+Parity targets:
+  - MelodyTransformer = "annotated transformer" enc-dec (pre-norm sublayers,
+    final LayerNorm, sinusoidal PE, emb*sqrt(d)); transformer_melody/model.py
+    make_model (:477-500), Transformer (:340-378) incl. the cross-sentence
+    `dotattention` memory (:349-362).
+  - MSEDurationModel: same encoder + Linear/LeakyReLU + scalar regression
+    head; transformer_melody/MSE/model.py make_model_mse (:345-368).
+  - SDPDurationModel: post-norm encoder with learned positions + VITS
+    stochastic duration predictor; transformer_melody/Lyric2Duration.py +
+    modules.py:492-790.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..duration import StochasticDurationPredictor
+
+MASK_VALUE = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class MelodyConfig:
+    src_vocab: int = 4000
+    tgt_vocab: int = 37          # note_dictionary: 4 reserved + 33 pitches
+    n_layers: int = 6
+    d_model: int = 512
+    d_ff: int = 2048
+    n_heads: int = 8
+    dropout: float = 0.1
+    max_len: int = 512
+
+
+def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    position = np.arange(max_len)[:, None].astype(np.float32)
+    div = np.exp(np.arange(0, d_model, 2) * -(math.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+class TokenEmbedding(nn.Module):
+    vocab: int
+    d_model: int
+    dropout: float
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, ids, deterministic: bool = True):
+        x = nn.Embed(self.vocab, self.d_model, name="lut")(ids)
+        x = x * math.sqrt(self.d_model)
+        pe = jnp.asarray(sinusoidal_position_encoding(self.max_len, self.d_model))
+        x = x + pe[None, : x.shape[1]]
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class MHA(nn.Module):
+    d_model: int
+    n_heads: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None, deterministic: bool = True):
+        d_k = self.d_model // self.n_heads
+        def proj(x, name):
+            return nn.Dense(self.d_model, name=name)(x).reshape(
+                x.shape[0], x.shape[1], self.n_heads, d_k).transpose(0, 2, 1, 3)
+        Q, K, V = proj(q, "q"), proj(k, "k"), proj(v, "v")
+        scores = jnp.einsum("bhqd,bhkd->bhqk", Q, K) / math.sqrt(d_k)
+        if mask is not None:
+            scores = jnp.where(mask == 0, MASK_VALUE, scores)
+        p = jax.nn.softmax(scores, axis=-1)
+        p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, V)
+        out = out.transpose(0, 2, 1, 3).reshape(q.shape[0], q.shape[1], self.d_model)
+        return nn.Dense(self.d_model, name="out")(out)
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    d_ff: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = jax.nn.relu(nn.Dense(self.d_ff, name="fc1")(x))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model, name="fc2")(h)
+
+
+class PreNormBlock(nn.Module):
+    """x + dropout(sublayer(LN(x))) — the annotated-transformer sublayer."""
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, sublayer, deterministic: bool = True):
+        y = sublayer(nn.LayerNorm(name="norm")(x))
+        return x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+
+
+class MelodyEncoder(nn.Module):
+    cfg: MelodyConfig
+
+    @nn.compact
+    def __call__(self, x, src_mask, deterministic: bool = True):
+        c = self.cfg
+        for i in range(c.n_layers):
+            x = PreNormBlock(c.dropout, name=f"attn_res_{i}")(
+                x, lambda h: MHA(c.d_model, c.n_heads, c.dropout,
+                                 name=f"attn_{i}")(h, h, h, src_mask,
+                                                   deterministic),
+                deterministic)
+            x = PreNormBlock(c.dropout, name=f"ff_res_{i}")(
+                x, lambda h: FeedForward(c.d_model, c.d_ff, c.dropout,
+                                         name=f"ff_{i}")(h, deterministic),
+                deterministic)
+        return nn.LayerNorm(name="final_norm")(x)
+
+
+class MelodyDecoder(nn.Module):
+    cfg: MelodyConfig
+
+    @nn.compact
+    def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
+        c = self.cfg
+        for i in range(c.n_layers):
+            x = PreNormBlock(c.dropout, name=f"self_res_{i}")(
+                x, lambda h: MHA(c.d_model, c.n_heads, c.dropout,
+                                 name=f"self_{i}")(h, h, h, tgt_mask,
+                                                   deterministic),
+                deterministic)
+            x = PreNormBlock(c.dropout, name=f"cross_res_{i}")(
+                x, lambda h: MHA(c.d_model, c.n_heads, c.dropout,
+                                 name=f"cross_{i}")(h, memory, memory, src_mask,
+                                                    deterministic),
+                deterministic)
+            x = PreNormBlock(c.dropout, name=f"ffn_res_{i}")(
+                x, lambda h: FeedForward(c.d_model, c.d_ff, c.dropout,
+                                         name=f"ffn_{i}")(h, deterministic),
+                deterministic)
+        return nn.LayerNorm(name="final_norm")(x)
+
+
+def causal_mask(length: int) -> jnp.ndarray:
+    """[1, 1, L, L] lower-triangular mask."""
+    return jnp.tril(jnp.ones((length, length), jnp.int32))[None, None]
+
+
+class MelodyTransformer(nn.Module):
+    """Lyric->note sequence model with optional previous-sentence memory."""
+    cfg: MelodyConfig
+
+    def setup(self):
+        c = self.cfg
+        self.src_embed = TokenEmbedding(c.src_vocab, c.d_model, c.dropout,
+                                        name="src_embed")
+        self.tgt_embed = TokenEmbedding(c.tgt_vocab, c.d_model, c.dropout,
+                                        name="tgt_embed")
+        self.encoder = MelodyEncoder(c, name="encoder")
+        self.decoder = MelodyDecoder(c, name="decoder")
+        self.generator = nn.Dense(c.tgt_vocab, name="generator")
+
+    def encode(self, src, src_mask, deterministic: bool = True):
+        return self.encoder(self.src_embed(src, deterministic), src_mask,
+                            deterministic)
+
+    def dot_attention_memory(self, src, src_mask, previous_ids,
+                             deterministic: bool = True):
+        """Cross-sentence conditioning: previous sentence's note embeddings
+        attend over the encoder outputs (transformer_melody/model.py:349-362)."""
+        memory = self.encode(src, src_mask, deterministic)
+        prev = self.tgt_embed(previous_ids, deterministic)
+        interact = jnp.einsum("bpd,bsd->bps", prev, memory)
+        interact = interact + (src_mask[:, 0].astype(jnp.int32) - 1) * 1e-9
+        attn = jax.nn.softmax(interact, axis=-1)
+        return jnp.einsum("bps,bsd->bpd", attn, memory)
+
+    def decode(self, memory, src_mask, tgt, tgt_mask, deterministic: bool = True):
+        return self.decoder(self.tgt_embed(tgt, deterministic), memory,
+                            src_mask, tgt_mask, deterministic)
+
+    def logits(self, decoder_out):
+        return jax.nn.log_softmax(self.generator(decoder_out), axis=-1)
+
+    def __call__(self, src, tgt, src_mask, tgt_mask, deterministic: bool = True):
+        memory = self.encode(src, src_mask, deterministic)
+        out = self.decode(memory, src_mask, tgt, tgt_mask, deterministic)
+        return self.logits(out)
+
+
+class MSEDurationModel(nn.Module):
+    """Encoder + Linear/LeakyReLU + scalar head regressing log-duration."""
+    cfg: MelodyConfig
+
+    @nn.compact
+    def __call__(self, src, src_mask, deterministic: bool = True):
+        c = self.cfg
+        x = TokenEmbedding(c.src_vocab, c.d_model, c.dropout, name="src_embed")(
+            src, deterministic)
+        x = MelodyEncoder(c, name="encoder")(x, src_mask, deterministic)
+        x = jax.nn.leaky_relu(nn.Dense(c.d_model, name="decoder")(x), 0.2)
+        return nn.Dense(1, name="generator")(x)[..., 0]  # [B, T] log-durations
+
+
+@dataclasses.dataclass(frozen=True)
+class SDPDurationConfig:
+    src_vocab: int = 4000
+    hidden_dim: int = 256
+    n_layers: int = 6
+    n_heads: int = 8
+    pf_dim: int = 512
+    dropout: float = 0.1
+    max_len: int = 100
+
+
+class PostNormEncoder(nn.Module):
+    """Post-norm encoder with learned positional embeddings
+    (transformer_melody/modules.py:742-790)."""
+    cfg: SDPDurationConfig
+
+    @nn.compact
+    def __call__(self, src, src_mask, deterministic: bool = True):
+        c = self.cfg
+        pos = jnp.arange(src.shape[1])[None, :]
+        x = nn.Embed(c.src_vocab, c.hidden_dim, name="tok")(src) * \
+            math.sqrt(c.hidden_dim)
+        x = x + nn.Embed(c.max_len, c.hidden_dim, name="pos")(pos)
+        x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
+        for i in range(c.n_layers):
+            a = MHA(c.hidden_dim, c.n_heads, c.dropout, name=f"attn_{i}")(
+                x, x, x, src_mask, deterministic)
+            x = nn.LayerNorm(name=f"norm1_{i}")(
+                x + nn.Dropout(c.dropout)(a, deterministic=deterministic))
+            f = FeedForward(c.hidden_dim, c.pf_dim, c.dropout, name=f"ff_{i}")(
+                x, deterministic)
+            x = nn.LayerNorm(name=f"norm2_{i}")(
+                x + nn.Dropout(c.dropout)(f, deterministic=deterministic))
+        return x
+
+
+class SDPDurationModel(nn.Module):
+    """Lyric2Duration: encoder + flow-based stochastic duration predictor."""
+    cfg: SDPDurationConfig
+
+    def setup(self):
+        self.encoder = PostNormEncoder(self.cfg, name="encoder")
+        self.dp = StochasticDurationPredictor(
+            self.cfg.hidden_dim, 3, 0.5, gin_channels=10, name="dp")
+
+    def infer_duration(self, src, noise_scale: float = 1.0,
+                       length_scale: float = 1.0):
+        """src: [B, T] ids (0 = pad). Returns durations w [B, T] (exp(logw))."""
+        mask = (src != 0)
+        attn_mask = mask[:, None, None, :].astype(jnp.int32)
+        h = self.encoder(src, attn_mask)
+        fmask = mask[..., None].astype(h.dtype)
+        logw = self.dp(h, fmask, reverse=True, noise_scale=noise_scale)
+        return jnp.exp(logw) * mask.astype(h.dtype) * length_scale
+
+    def __call__(self, src, durations):
+        mask = (src != 0)
+        attn_mask = mask[:, None, None, :].astype(jnp.int32)
+        h = self.encoder(src, attn_mask, deterministic=False)
+        fmask = mask[..., None].astype(h.dtype)
+        nll = self.dp(h, fmask, w=durations[..., None], deterministic=False)
+        return nll / jnp.sum(fmask)

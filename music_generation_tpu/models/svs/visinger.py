@@ -1,0 +1,344 @@
+"""VISinger: VITS-derived singing-voice synthesizer (flax, TPU-first).
+
+Parity targets (structure and tensor semantics, re-laid-out channels-last):
+  - TextEncoder with 4 summed embeddings          VISinger/models.py:151-218
+  - DurationPredictor (sigmoid fraction)          VISinger/models.py:100-148
+  - TextPostNet (pos-emb -> F0 -> mel -> prior)   VISinger/ext_modules/*
+  - PosteriorEncoder / ResidualCouplingBlock      VISinger/models.py:221-289
+  - HiFi-GAN decoder                              VISinger/models.py:292-351
+  - AE variant (SpecDecoder + spec_proj)          VISinger/models_ae.py diff
+  - LengthRegulator                               VISinger/models.py:705-739
+    (re-expressed as a batched cumsum+gather, see core.masking)
+
+Everything in `infer` is a single jit-compiled XLA program with static
+max-frame shape; variable length is carried by masks + a trailing trim on the
+host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...core.attention import TransformerEncoder
+from ...core.flows import ResidualCouplingBlock
+from ...core.layers import Conv1d
+from ...core.masking import expand_by_durations, feature_mask, rand_slice_segments
+from ...core.wavenet import WaveNet
+from ..duration import DurationPredictor
+from .hifigan import Generator
+
+# --- F0 quantization (jnp twin of frontend.pitch.f0_to_coarse) -------------
+_F0_BIN = 256
+_F0_MEL_MIN = 1127.0 * math.log(1.0 + 50.0 / 700.0)
+_F0_MEL_MAX = 1127.0 * math.log(1.0 + 1100.0 / 700.0)
+
+
+def f0_to_coarse(f0: jnp.ndarray) -> jnp.ndarray:
+    mel = 1127.0 * jnp.log(1.0 + f0 / 700.0)
+    scaled = jnp.where(
+        mel > 0,
+        (mel - _F0_MEL_MIN) * (_F0_BIN - 2) / (_F0_MEL_MAX - _F0_MEL_MIN) + 1.0,
+        mel)
+    scaled = jnp.clip(scaled, 1.0, _F0_BIN - 1)
+    return jnp.floor(scaled + 0.5).astype(jnp.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SVSConfig:
+    """Model hyperparameters (defaults = VISinger/configs/ours_ae.json)."""
+    n_vocab: int = 100
+    n_vocab_note: int = 100
+    n_vocab_shengdiao: int = 300
+    spec_channels: int = 513          # filter_length // 2 + 1
+    inter_channels: int = 192
+    hidden_channels: int = 192
+    filter_channels: int = 768
+    n_heads: int = 2
+    n_layers: int = 6
+    kernel_size: int = 3
+    p_dropout: float = 0.1
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
+    upsample_rates: Sequence[int] = (8, 8, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    segment_size: int = 12288         # samples per training slice (AE config)
+    n_speakers: int = 0
+    gin_channels: int = 0
+    autoencoder: bool = True          # models_ae variant (SpecDecoder path)
+    sampling_rate: int = 22050
+    hop_length: int = 256
+    frame_seconds: float = 0.0116     # duration->frames divisor (models.py:639)
+
+    @property
+    def hop_seconds(self) -> float:
+        return self.hop_length / self.sampling_rate
+
+    @property
+    def segment_frames(self) -> int:
+        return self.segment_size // self.hop_length
+
+
+class TextEncoder(nn.Module):
+    cfg: SVSConfig
+
+    @nn.compact
+    def __call__(self, phones, note_ids, note_durations, shengdiao, mask,
+                 deterministic: bool = True):
+        h = self.cfg.hidden_channels
+        emb = (
+            nn.Embed(self.cfg.n_vocab, h,
+                     embedding_init=nn.initializers.normal(h ** -0.5),
+                     name="emb_phoneme")(phones)
+            + nn.Embed(self.cfg.n_vocab_note, h,
+                       embedding_init=nn.initializers.normal(h ** -0.5),
+                       name="emb_note_pitch")(note_ids)
+            + nn.Dense(h, name="emb_note_duration")(note_durations[..., None])
+            + nn.Embed(self.cfg.n_vocab_shengdiao, h,
+                       name="emb_shengdiao")(shengdiao)
+        ) * math.sqrt(h)
+        x = TransformerEncoder(
+            h, self.cfg.filter_channels, self.cfg.n_heads, self.cfg.n_layers,
+            self.cfg.kernel_size, self.cfg.p_dropout, name="encoder")(
+                emb * mask, mask, deterministic=deterministic)
+        return x * mask
+
+
+class F0Predictor(nn.Module):
+    cfg: SVSConfig
+    n_layers: int = 6
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        h = TransformerEncoder(
+            self.cfg.hidden_channels, self.cfg.filter_channels,
+            self.cfg.n_heads, self.n_layers, self.cfg.kernel_size,
+            self.cfg.p_dropout, name="encoder")(x * mask, mask,
+                                                deterministic=deterministic)
+        log_f0 = Conv1d(1, 1, name="out")(h * mask) * mask
+        return log_f0[..., 0]
+
+
+class MelPredictNetwork(nn.Module):
+    cfg: SVSConfig
+    out_channels: int = 80
+    n_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x, condition, mask, deterministic: bool = True):
+        if condition is not None:
+            x = x + Conv1d(x.shape[-1], 1, name="condition_proj")(condition)
+        x = x * mask
+        x = TransformerEncoder(
+            self.cfg.hidden_channels, self.cfg.filter_channels,
+            self.cfg.n_heads, self.n_layers, self.cfg.kernel_size,
+            self.cfg.p_dropout, name="encoder")(x, mask,
+                                                deterministic=deterministic)
+        return Conv1d(self.out_channels, 1, name="out")(x * mask) * mask
+
+
+class FramePriorNetwork(nn.Module):
+    out_channels: int
+    condition_channels: int
+    n_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x, condition, mask):
+        if condition is not None:
+            x = x + Conv1d(x.shape[-1], 1, name="condition_proj")(condition)
+        x = x * mask
+        for i in range(self.n_layers):
+            x = jax.nn.gelu(Conv1d(self.out_channels, 1, name=f"conv_{i}")(x))
+            x = x * mask
+        return x
+
+
+class TextPostNet(nn.Module):
+    """Position emb -> F0 predictor -> mel predictor -> frame prior -> (m, logs)."""
+    cfg: SVSConfig
+    max_positions: int = 2000
+
+    @nn.compact
+    def __call__(self, x, mask, f0_score=None, deterministic: bool = True):
+        h = self.cfg.hidden_channels
+        t = x.shape[1]
+        pos_emb = nn.Embed(self.max_positions, h, name="position_embeddings")(
+            jnp.arange(t)[None, :])
+        x_emb = (x + pos_emb) * mask
+
+        log_f0 = F0Predictor(self.cfg, name="f0_predictor")(
+            x_emb, mask, deterministic)
+        if f0_score is None:
+            f0_score = f0_to_coarse(jnp.exp(log_f0) - 1.0)
+        f0_emb = nn.Embed(300, h, name="f0_emb")(f0_score) * mask
+
+        mel_predict = MelPredictNetwork(self.cfg, name="mel_predict_net")(
+            x_emb, f0_emb, mask, deterministic)
+        x_hidden = FramePriorNetwork(h, h, name="frame_prior_net")(
+            mel_predict, f0_emb, mask)
+        stats = Conv1d(2 * self.cfg.inter_channels, 1, name="proj")(
+            x_hidden * mask) * mask
+        m = stats[..., : self.cfg.inter_channels]
+        logs = stats[..., self.cfg.inter_channels:]
+        return m, logs, log_f0, mel_predict
+
+
+class PosteriorEncoder(nn.Module):
+    cfg: SVSConfig
+
+    @nn.compact
+    def __call__(self, spec, mask, g=None, deterministic: bool = True):
+        x = Conv1d(self.cfg.hidden_channels, 1, name="pre")(spec) * mask
+        x = WaveNet(self.cfg.hidden_channels, 5, 1, 16,
+                    gin_channels=self.cfg.gin_channels, name="enc")(
+                        x, mask, g=g, deterministic=deterministic)
+        stats = Conv1d(2 * self.cfg.inter_channels, 1, name="proj")(x) * mask
+        m = stats[..., : self.cfg.inter_channels]
+        logs = stats[..., self.cfg.inter_channels:]
+        noise = jax.random.normal(self.make_rng("noise"), m.shape)
+        z = (m + noise * jnp.exp(logs)) * mask
+        return z, m, logs, x
+
+
+class SpecDecoder(nn.Module):
+    """z -> predicted linear spectrogram (AE variant, ext_modules/spec_decoder.py)."""
+    cfg: SVSConfig
+
+    @nn.compact
+    def __call__(self, x, mask, g=None, deterministic: bool = True):
+        x = Conv1d(self.cfg.hidden_channels, 1, name="pre")(x) * mask
+        x = WaveNet(self.cfg.hidden_channels, 5, 1, 16,
+                    gin_channels=self.cfg.gin_channels, name="enc")(
+                        x, mask, g=g, deterministic=deterministic)
+        return Conv1d(self.cfg.spec_channels, 1, name="proj")(x) * mask
+
+
+class VISinger(nn.Module):
+    """Full synthesizer. Methods:
+      - infer(...): score -> waveform (jittable, static max_frames)
+      - __call__(...): training forward (returns pieces for GAN/VAE losses)
+    """
+    cfg: SVSConfig
+
+    def setup(self):
+        c = self.cfg
+        self.text_encoder = TextEncoder(c, name="text_encoder")
+        self.duration_predictor = DurationPredictor(
+            256, 3, 0.5, name="duration_predictor")
+        self.text_post_net = TextPostNet(c, name="text_post_net")
+        self.spec_encoder = PosteriorEncoder(c, name="spec_encoder")
+        self.spec_flow = ResidualCouplingBlock(
+            c.inter_channels, c.hidden_channels, 5, 1, 4,
+            gin_channels=c.gin_channels, name="spec_flow")
+        self.decoder = Generator(
+            c.resblock, tuple(c.resblock_kernel_sizes),
+            tuple(tuple(d) for d in c.resblock_dilation_sizes),
+            tuple(c.upsample_rates), c.upsample_initial_channel,
+            tuple(c.upsample_kernel_sizes), gin_channels=c.gin_channels,
+            name="decoder")
+        if c.autoencoder:
+            self.spec_decoder = SpecDecoder(c, name="spec_decoder")
+            self.spec_proj = Conv1d(c.inter_channels, 1, name="spec_proj")
+
+    def _latent_to_audio(self, z, y_mask, g=None, deterministic=True):
+        if self.cfg.autoencoder:
+            spec_predict = self.spec_decoder(z, y_mask,
+                                             deterministic=deterministic)
+            hidden = self.spec_proj(spec_predict)
+            return self.decoder(hidden * y_mask, g=g), spec_predict
+        return self.decoder(z * y_mask, g=g), None
+
+    def infer(self, phones, x_lengths, note_ids, note_durations, shengdiao,
+              max_frames: int, noise_scale: float = 1.0,
+              ph_dur: Optional[jnp.ndarray] = None):
+        """Score -> waveform.
+
+        phones/note_ids/shengdiao: int32 [B, T]; note_durations: f32 [B, T]
+        seconds; x_lengths: int32 [B]. Returns (audio [B, max_frames*hop, 1],
+        mel_len [B], aux dict).
+        """
+        c = self.cfg
+        x_mask = feature_mask(x_lengths, phones.shape[1])
+        h_text = self.text_encoder(phones, note_ids, note_durations,
+                                   shengdiao, x_mask)
+        if ph_dur is None:
+            frac = self.duration_predictor(h_text, x_mask)
+            phoneme_seconds = frac * note_durations
+            frames = jnp.floor(phoneme_seconds / c.frame_seconds).astype(jnp.int32)
+        else:
+            frames = ph_dur
+        frames = frames * x_mask[..., 0].astype(frames.dtype)
+
+        h_lr, mel_len = expand_by_durations(h_text, frames, max_frames)
+        mel_len = jnp.minimum(mel_len, max_frames)
+        y_mask = feature_mask(mel_len, max_frames)
+
+        m_p, logs_p, log_f0, mel_predict = self.text_post_net(h_lr, y_mask)
+        noise = jax.random.normal(self.make_rng("noise"), m_p.shape)
+        z_p = m_p + noise * jnp.exp(logs_p) * noise_scale
+        z = self.spec_flow(z_p, y_mask, reverse=True)
+        audio, spec_predict = self._latent_to_audio(z, y_mask)
+        aux = {"log_f0": log_f0, "mel_predict": mel_predict,
+               "spec_predict": spec_predict, "frames": frames}
+        return audio, mel_len, aux
+
+    def __call__(self, phones, x_lengths, spec, y_lengths, note_ids,
+                 note_durations, f0_score, phone_durations, shengdiao,
+                 deterministic: bool = False):
+        """Training forward (parity: models_ae.py forward)."""
+        c = self.cfg
+        x_mask = feature_mask(x_lengths, phones.shape[1])
+        h_text = self.text_encoder(phones, note_ids, note_durations, shengdiao,
+                                   x_mask, deterministic=deterministic)
+        duration_fraction = self.duration_predictor(
+            h_text, x_mask, deterministic=deterministic)
+
+        max_frames = spec.shape[1]
+        h_lr, _ = expand_by_durations(h_text, phone_durations, max_frames)
+        y_mask = feature_mask(y_lengths, max_frames)
+
+        z, m_q, logs_q, _ = self.spec_encoder(spec, y_mask,
+                                              deterministic=deterministic)
+        z_p = self.spec_flow(z, y_mask)
+
+        m_p, logs_p, log_f0, mel_predict = self.text_post_net(
+            h_lr, y_mask, f0_score=f0_score, deterministic=deterministic)
+
+        # reverse-KL sample
+        noise = jax.random.normal(self.make_rng("noise"), m_p.shape)
+        z_p_hat = m_p + noise * jnp.exp(logs_p)
+        z_hat = self.spec_flow(z_p_hat, y_mask, reverse=True)
+
+        if c.autoencoder:
+            spec_predict = self.spec_decoder(z, y_mask,
+                                             deterministic=deterministic)
+            dec_input = self.spec_proj(spec_predict)
+        else:
+            spec_predict = None
+            dec_input = z
+
+        z_slice, ids_slice = rand_slice_segments(
+            self.make_rng("slice"), dec_input, y_lengths, c.segment_frames)
+        audio = self.decoder(z_slice)
+
+        return {
+            "audio": audio,
+            "duration_fraction": duration_fraction,
+            "ids_slice": ids_slice,
+            "x_mask": x_mask,
+            "y_mask": y_mask,
+            "z": z, "z_p": z_p, "m_p": m_p, "logs_p": logs_p,
+            "m_q": m_q, "logs_q": logs_q,
+            "log_f0": log_f0,
+            "mel_predict": mel_predict,
+            "spec_predict": spec_predict,
+            "z_hat": z_hat,
+        }

@@ -1,0 +1,200 @@
+"""End-to-end song synthesis pipeline (host orchestration around jitted cores).
+
+Parity surface: pipline_inference_svs_v6_multispeaker.py — `Synthesiser.syn`
+(:128-144) and `syn_music` (:189-285): sentence chunking on punctuation,
+short-fragment merging, per-sentence melody with previous-sentence
+conditioning, SVS synthesis, int16 normalize, 0.2 s leading pad, WAV bytes.
+
+TPU-first details:
+  - inputs are padded to (phone, frame) shape buckets so each bucket compiles
+    once; the jit cache is keyed by bucket.
+  - the SVS infer is one XLA program per bucket; only the final trim happens
+    on host.
+"""
+
+from __future__ import annotations
+
+import bisect
+import functools
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import ScoreFrontend, midi_to_note
+from ..models.melody import (MelodyConfig, MelodyGenerator,
+                             lyric_dictionary_from_chars, note_dictionary)
+from ..models.svs import SVSConfig, VISinger
+from ..audio.wav import (SAMPLE_RATE, concat_with_delay, normalize_int16,
+                         write_wav_bytes)
+
+SENTENCE_SPLIT_RE = re.compile(r"[.。，,？；;?!！\n]")
+PHONE_BUCKETS = (16, 32, 48, 64, 96, 128)
+FRAME_BUCKETS = (128, 256, 512, 768, 1024, 1536, 1984)
+MIN_SENTENCE_LEN = 2
+
+
+def split_sentences(lyrics: str, min_len: int = MIN_SENTENCE_LEN) -> list[str]:
+    """Punctuation split + merge of fragments shorter than min_len
+    (parity: syn_music :190-204)."""
+    parts = SENTENCE_SPLIT_RE.split(lyrics)
+    merged, carry = [], ""
+    for p in parts:
+        if len(p) < min_len:
+            carry += p + ","
+        else:
+            merged.append(carry + p)
+            carry = ""
+    return merged
+
+
+def _bucket(value: int, buckets: tuple[int, ...]) -> int:
+    i = bisect.bisect_left(buckets, value)
+    if i < len(buckets):
+        return buckets[i]
+    # beyond the table: round up to a multiple of the largest bucket's stride
+    # so rare giant inputs still compile once per size class
+    return -(-value // 64) * 64
+
+
+class SVSSynthesizer:
+    """Score -> waveform, one jitted program per shape bucket."""
+
+    def __init__(self, cfg: Optional[SVSConfig] = None,
+                 params=None, seed: int = 0,
+                 frontend: Optional[ScoreFrontend] = None):
+        self.cfg = cfg or SVSConfig()
+        self.model = VISinger(self.cfg)
+        self.frontend = frontend or ScoreFrontend()
+        self._infer_key = jax.random.PRNGKey(seed + 17)
+        if params is None:
+            t = PHONE_BUCKETS[0]
+            params = self.model.init(
+                {"params": jax.random.PRNGKey(seed),
+                 "noise": jax.random.PRNGKey(seed + 1)},
+                phones=jnp.zeros((1, t), jnp.int32),
+                x_lengths=jnp.asarray([t], jnp.int32),
+                note_ids=jnp.zeros((1, t), jnp.int32),
+                note_durations=jnp.ones((1, t), jnp.float32) * 0.3,
+                shengdiao=jnp.zeros((1, t), jnp.int32),
+                max_frames=FRAME_BUCKETS[0],
+                method=VISinger.infer)
+        self.params = params
+
+    @functools.lru_cache(maxsize=32)
+    def _compiled(self, max_frames: int):
+        def run(params, noise_key, phones, x_lengths, note_ids,
+                note_durations, shengdiao):
+            return self.model.apply(
+                params, phones=phones, x_lengths=x_lengths, note_ids=note_ids,
+                note_durations=note_durations, shengdiao=shengdiao,
+                max_frames=max_frames, method=VISinger.infer,
+                rngs={"noise": noise_key})
+        return jax.jit(run)
+
+    def synthesize(self, text: str, notes: list[str],
+                   durations: list[float]) -> np.ndarray:
+        """One sentence -> float waveform (un-normalized, trimmed)."""
+        score = self.frontend.align(text, notes, durations)
+        t = len(score.phone_ids)
+        t_pad = _bucket(t, PHONE_BUCKETS)
+        frame_bound = int(np.ceil(score.note_durations.sum()
+                                  / self.cfg.frame_seconds)) + t + 8
+        # TextPostNet position embeddings cap the frame axis at 2000
+        max_frames = min(_bucket(frame_bound, FRAME_BUCKETS), FRAME_BUCKETS[-1])
+
+        def pad(a, fill=0):
+            return np.pad(a, (0, t_pad - t), constant_values=fill)
+
+        self._infer_key, sub = jax.random.split(self._infer_key)
+        audio, mel_len, _ = self._compiled(max_frames)(
+            self.params, sub,
+            jnp.asarray(pad(score.phone_ids)[None]),
+            jnp.asarray([t], jnp.int32),
+            jnp.asarray(pad(score.note_ids)[None]),
+            jnp.asarray(pad(score.note_durations)[None]),
+            jnp.asarray(pad(score.shengdiao_ids)[None]),
+        )
+        n_samples = int(mel_len[0]) * self.cfg.hop_length
+        return np.asarray(audio[0, :n_samples, 0], dtype=np.float64)
+
+    def synthesize_pipe_format(self, line: str) -> np.ndarray:
+        metas = line.split("|")
+        return self.synthesize(metas[1].replace(" ", ""), metas[2].split(" "),
+                               [float(x) for x in metas[3].split(" ")])
+
+
+@dataclass
+class SongResult:
+    wav_bytes: bytes
+    lyrics_sentences: list[str]
+    notes: list[list[str]]
+    timings: dict = field(default_factory=dict)
+
+
+class SongSynthesizer:
+    """Full lyrics -> song (multi-speaker via per-speaker SVS params)."""
+
+    def __init__(self, melody: MelodyGenerator,
+                 synthesizers: dict[int, SVSSynthesizer]):
+        self.melody = melody
+        self.synthesizers = synthesizers  # singer_id -> SVSSynthesizer
+
+    def synthesize_song(self, lyrics: str, singer_id: int = 0) -> SongResult:
+        svs = self.synthesizers.get(singer_id, self.synthesizers[0])
+        sentences = split_sentences(lyrics)
+        wavs, all_notes, previous_midis = [], [], []
+        t_start = time.time()
+        per_sentence = []
+        for k, sentence in enumerate(sentences):
+            t0 = time.time()
+            out_lyric, note_tokens, durations = self.melody.generate(
+                sentence, index=k, previous_notes=previous_midis or None)
+            previous_midis = note_tokens
+            note_names = [midi_to_note(int(m)) if m != "rest" else "rest"
+                          for m in note_tokens]
+            all_notes.append(note_names)
+            wav = svs.synthesize(out_lyric, note_names, durations)
+            wavs.append(normalize_int16(wav))
+            per_sentence.append(time.time() - t0)
+        song = concat_with_delay(wavs, delay_seconds=0.2)
+        return SongResult(
+            wav_bytes=write_wav_bytes(song),
+            lyrics_sentences=sentences,
+            notes=all_notes,
+            timings={"total_s": time.time() - t_start,
+                     "per_sentence_s": per_sentence},
+        )
+
+
+def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
+                                   seed: int = 0) -> SongSynthesizer:
+    """Random-initialized full pipeline (weights are trained separately; the
+    reference snapshot ships no usable checkpoints — see
+    /root/reference/.MISSING_LARGE_BLOBS)."""
+    # Lyric dictionary: cover the full monosyllable charset.
+    from ..frontend import load_lexicon
+    chars = list(load_lexicon().monosyllable.keys())
+    lyric_dict = lyric_dictionary_from_chars(chars)
+    if tiny:
+        mcfg = MelodyConfig(src_vocab=lyric_dict.size, tgt_vocab=37,
+                            n_layers=1, d_model=32, d_ff=64, n_heads=2)
+        scfg = SVSConfig(inter_channels=16, hidden_channels=16,
+                         filter_channels=32, n_heads=2, n_layers=1,
+                         spec_channels=65,
+                         resblock_kernel_sizes=(3,),
+                         resblock_dilation_sizes=((1, 3),),
+                         upsample_rates=(8, 8, 2, 2),
+                         upsample_initial_channel=32,
+                         upsample_kernel_sizes=(16, 16, 4, 4))
+    else:
+        mcfg = MelodyConfig(src_vocab=lyric_dict.size, tgt_vocab=37)
+        scfg = SVSConfig()
+    melody = MelodyGenerator(lyric_dict, note_dictionary(), cfg=mcfg,
+                             duration_variant="mse", seed=seed)
+    synths = {i: SVSSynthesizer(scfg, seed=seed + i) for i in range(n_speakers)}
+    return SongSynthesizer(melody, synths)

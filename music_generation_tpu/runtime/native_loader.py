@@ -1,0 +1,57 @@
+"""ctypes loader for the native C++ runtime library (auto-builds with g++)."""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO = os.path.join(_DIR, "libmga_native.so")
+
+
+@functools.lru_cache(maxsize=1)
+def _load():
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.maximum_path_c.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.maximum_path_c.restype = None
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def maximum_path_native(neg_cent: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Same contract as ops.monotonic_align.maximum_path_numpy, but C++/OpenMP."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (g++/make failed?)")
+    b, t_y, t_x = neg_cent.shape
+    values = np.ascontiguousarray(neg_cent * mask, dtype=np.float32)
+    paths = np.zeros((b, t_y, t_x), dtype=np.int32)
+    t_ys = np.ascontiguousarray(mask[:, :, 0].sum(1), dtype=np.int32)
+    t_xs = np.ascontiguousarray(mask[:, 0, :].sum(1), dtype=np.int32)
+    lib.maximum_path_c(
+        paths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t_ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t_xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b, t_y, t_x)
+    return paths.astype(np.float32) * mask

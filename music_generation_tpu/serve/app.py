@@ -1,0 +1,173 @@
+"""HTTP song-generation service (stdlib, no flask dependency).
+
+Same wire contract as the reference controllers
+(controllers_music_generation_svs_v*_multispeaker/syn_music.py):
+  POST /synthesis_music
+    body (json or form): text | keyword, singer_id (0=default, 1, 2)
+    -> {code: 200, message, data: {lyrics, audio: <b64 wav>}}
+    errors: 201 missing input, 202 length guard (1..500), 203 synth error
+  GET /healthz -> {ok: true}
+
+Deviations (documented): the reference runs threaded Flask over module-global
+CUDA models with no locking (race hazard, SURVEY.md §5); here synthesis is
+serialized behind a lock while HTTP I/O stays threaded.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import logging
+import os
+import threading
+import time
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs
+
+from ..config import ServiceConfig
+
+
+def make_logger(cfg: ServiceConfig) -> logging.Logger:
+    logger = logging.getLogger(cfg.log_name)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        fh = logging.FileHandler(
+            os.path.join(cfg.log_dir, f"logger_{cfg.log_name}.log"),
+            encoding="utf-8")
+        fh.setFormatter(logging.Formatter(
+            "%(asctime)s - %(levelname)s - %(message)s"))
+        logger.addHandler(fh)
+        logger.addHandler(logging.StreamHandler())
+    return logger
+
+
+class MusicGenerationService:
+    """Transport-independent request handling (unit-testable)."""
+
+    def __init__(self, song_synthesizer, lyric_generator=None,
+                 cfg: Optional[ServiceConfig] = None,
+                 logger: Optional[logging.Logger] = None):
+        self.songs = song_synthesizer
+        self.lyrics = lyric_generator
+        self.cfg = cfg or ServiceConfig()
+        self.logger = logger or make_logger(self.cfg)
+        self._lock = threading.Lock()
+
+    def handle_synthesis(self, data: dict) -> dict:
+        text = str(data.get("text", "") or "").strip()
+        if not text:
+            keyword = str(data.get("keyword", "") or data.get("theme", "") or "").strip()
+            if not keyword:
+                return {"code": 201,
+                        "message": "输入参数错误，必须输入非空字段text！"}
+            if self.lyrics is None:
+                return {"code": 201,
+                        "message": "keyword 模式不可用：歌词模型未加载！"}
+            self.logger.info("传入关键词:%s", keyword)
+            text = self.lyrics.generate(keyword).replace("-", "")
+            self.logger.info("生成歌词：%s", text)
+        else:
+            self.logger.info("直接传入歌词:%s", text)
+
+        if not (self.cfg.min_text_len <= len(text) <= self.cfg.max_text_len):
+            return {"code": 202,
+                    "message": "生成失败，传入文本必须大于1个字符，小于500个字符！"}
+
+        singer_id = int(data.get("singer_id", 0) or 0)
+        try:
+            t0 = time.time()
+            with self._lock:
+                result = self.songs.synthesize_song(text, singer_id=singer_id)
+            b64 = base64.b64encode(result.wav_bytes).decode()
+            self.logger.info("音频合成耗时：%.3f 秒。", time.time() - t0)
+            return {"code": 200, "message": "success！",
+                    "data": {"lyrics": text, "audio": b64}}
+        except Exception:
+            self.logger.error("synthesis failed:\n%s", traceback.format_exc())
+            return {"code": 203, "message": "服务器错误，歌声合成出错！"}
+
+
+def make_http_server(service: MusicGenerationService, host: str, port: int):
+    class Handler(BaseHTTPRequestHandler):
+        def _send_json(self, payload: dict, status: int = 200):
+            body = json.dumps(payload, ensure_ascii=False).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.rstrip("/") in ("", "/healthz", "healthz") or \
+                    self.path == "/healthz":
+                self._send_json({"ok": True})
+            else:
+                self._send_json({"code": 404, "message": "not found"}, 404)
+
+        def do_POST(self):
+            if self.path != "/synthesis_music":
+                self._send_json({"code": 404, "message": "not found"}, 404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            try:
+                if ctype.startswith("application/json"):
+                    data = json.loads(raw or b"{}")
+                else:
+                    data = {k: v[0] for k, v in
+                            parse_qs(raw.decode(errors="replace")).items()}
+            except Exception:
+                data = {}
+            self._send_json(service.handle_synthesis(data))
+
+        def log_message(self, fmt, *args):
+            service.logger.info("%s - %s", self.address_string(), fmt % args)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="music_generation_tpu server")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--tiny", action="store_true",
+                        help="random tiny models (smoke testing)")
+    args = parser.parse_args(argv)
+
+    cfg = ServiceConfig.from_file(args.config) if args.config else ServiceConfig()
+    cfg = ServiceConfig.from_env(cfg)
+    if args.port:
+        cfg.port = args.port
+    if args.host:
+        cfg.host = args.host
+    if args.tiny:
+        cfg.tiny = True
+
+    logger = make_logger(cfg)
+    logger.info("loading models (tiny=%s)...", cfg.tiny)
+    from ..pipeline import build_default_song_synthesizer
+    from ..models.lyrics import LyricGeneratorT5, T5Config, CharTokenizer
+
+    songs = build_default_song_synthesizer(tiny=cfg.tiny,
+                                           n_speakers=cfg.n_speakers)
+    tok = CharTokenizer()
+    t5cfg = (T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64,
+                      num_layers=1, num_decoder_layers=1, num_heads=4)
+             if cfg.tiny else T5Config(vocab_size=tok.vocab_size))
+    lyric_gen = LyricGeneratorT5(t5cfg, tokenizer=tok)
+    service = MusicGenerationService(songs, lyric_gen, cfg, logger)
+
+    server = make_http_server(service, cfg.host, cfg.port)
+    logger.info("serving on %s:%d", cfg.host, cfg.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+from . import losses
+from .data import BATCH_KEYS, synthetic_batch
+from .trainer import (TrainConfig, TrainState, create_states, make_optimizer,
+                      make_train_step, restore_checkpoint, save_checkpoint)
+
+__all__ = ["losses", "TrainConfig", "TrainState", "create_states",
+           "make_optimizer", "make_train_step", "save_checkpoint",
+           "restore_checkpoint", "synthetic_batch", "BATCH_KEYS"]

@@ -1,0 +1,71 @@
+"""Training losses for the VISinger GAN-VAE (VITS recipe).
+
+The reference ships no training script (SURVEY.md §4) but the model keeps all
+training heads (models_ae.py forward) and the config carries c_mel=45, c_kl=1
+(configs/ours_ae.json). Losses follow the published VITS/VISinger recipe:
+LSGAN adversarial + feature matching + mel L1 + bidirectional KL + duration +
+F0 + (AE) linear-spectrogram reconstruction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def kl_divergence(z_p, logs_q, m_p, logs_p, mask):
+    """KL(q||p) with q given by sample z_p ~ q (VITS form)."""
+    kl = logs_p - logs_q - 0.5
+    kl += 0.5 * (jnp.exp(2.0 * logs_q) + (z_p - m_p) ** 2) * jnp.exp(-2.0 * logs_p)
+    return jnp.sum(kl * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def gaussian_nll(x, m, logs, mask):
+    """Mean negative log-likelihood of x under N(m, exp(logs)) (reverse-KL
+    surrogate for the z_hat sample mapped back through the flow)."""
+    nll = logs + 0.5 * ((x - m) ** 2) * jnp.exp(-2.0 * logs)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def duration_loss(fraction_pred, note_durations, phone_durations, frame_seconds,
+                  mask):
+    """MSE in seconds between predicted phone lengths (fraction * note len)
+    and ground-truth frame-quantized durations."""
+    pred_seconds = fraction_pred * note_durations
+    true_seconds = phone_durations.astype(jnp.float32) * frame_seconds
+    err = (pred_seconds - true_seconds) ** 2 * mask
+    return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def f0_loss(log_f0_pred, log_f0_true, mask):
+    err = jnp.abs(log_f0_pred - log_f0_true) * mask
+    return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def l1_masked(a, b, mask=None):
+    d = jnp.abs(a - b)
+    if mask is None:
+        return jnp.mean(d)
+    return jnp.sum(d * mask) / jnp.maximum(jnp.sum(mask) * d.shape[-1], 1.0)
+
+
+def feature_matching_loss(fmap_real, fmap_gen):
+    loss = 0.0
+    for fr, fg in zip(fmap_real, fmap_gen):
+        for r, g in zip(fr, fg):
+            loss += jnp.mean(jnp.abs(jax.lax.stop_gradient(r) - g))
+    return loss * 2.0
+
+
+def generator_adv_loss(disc_gen_outputs):
+    loss = 0.0
+    for dg in disc_gen_outputs:
+        loss += jnp.mean((1.0 - dg) ** 2)
+    return loss
+
+
+def discriminator_adv_loss(disc_real_outputs, disc_gen_outputs):
+    loss = 0.0
+    for dr, dg in zip(disc_real_outputs, disc_gen_outputs):
+        loss += jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
+    return loss

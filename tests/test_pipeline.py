@@ -1,0 +1,51 @@
+"""End-to-end pipeline tests on tiny configs (CPU-fast)."""
+
+import io
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from music_generation_tpu.pipeline import (build_default_song_synthesizer,
+                                           split_sentences)
+
+
+def test_split_sentences():
+    assert split_sentences("你好世界。今天天气") == ["你好世界", "今天天气"]
+    # short fragments merge forward with a comma (parity with reference)
+    assert split_sentences("啊,你是我最心爱的姑娘") == ["啊,你是我最心爱的姑娘"]
+    assert split_sentences("短,这是一句长歌词") == ["短,这是一句长歌词"]
+
+
+@pytest.fixture(scope="module")
+def song_synth():
+    return build_default_song_synthesizer(tiny=True, n_speakers=2)
+
+
+def test_svs_sentence_pipe_format(song_synth):
+    svs = song_synth.synthesizers[0]
+    line = ("test10|啊,你是我最心爱的姑娘AP|G#3 A3 A3 A3 A3 G#3 D4 D4 E4 E4 B3 rest"
+            "|0.44 0.33 0.29 0.4 0.26 0.29 0.6 0.46 0.4 0.84 0.79 0.6")
+    wav = svs.synthesize_pipe_format(line)
+    # total note duration 5.7s -> frames ~ 5.7/0.0116 ~ 491 capped by duration
+    # predictor; output is trimmed to mel_len*hop
+    assert wav.ndim == 1
+    assert len(wav) > 0
+    assert np.isfinite(wav).all()
+
+
+def test_full_song(song_synth):
+    result = song_synth.synthesize_song("你好世界。小小的天有大大的梦想", singer_id=0)
+    assert len(result.lyrics_sentences) == 2
+    sr, wav = wavfile.read(io.BytesIO(result.wav_bytes))
+    assert sr == 22050
+    assert wav.dtype == np.int16
+    assert len(wav) > 22050 * 0.2  # at least the delay pad
+    assert len(result.notes) == 2
+
+
+def test_full_song_other_speaker(song_synth):
+    r0 = song_synth.synthesize_song("你好世界", singer_id=0)
+    r1 = song_synth.synthesize_song("你好世界", singer_id=1)
+    # different speaker params -> different audio
+    assert r0.wav_bytes != r1.wav_bytes

@@ -1,0 +1,87 @@
+"""Training tests: one GAN step runs, losses finite and improve; checkpoints;
+multi-device pjit dry run on the virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from music_generation_tpu.models.svs import SVSConfig
+from music_generation_tpu.parallel import (batch_sharding, make_mesh,
+                                           shard_params)
+from music_generation_tpu.train import (TrainConfig, create_states,
+                                        make_train_step, synthetic_batch)
+
+TINY = SVSConfig(
+    inter_channels=16, hidden_channels=16, filter_channels=32, n_heads=2,
+    n_layers=1, spec_channels=65, resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 4),
+    upsample_initial_channel=32, upsample_kernel_sizes=(8, 8),
+    segment_size=16 * 8, hop_length=16)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tcfg = TrainConfig()
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(TINY, batch=2, t_phones=8,
+                                         t_frames=32).items()}
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch)
+    step = jax.jit(make_train_step(gen, disc, TINY, tcfg))
+    return batch, gen_state, disc_state, step
+
+
+def test_single_train_step(setup):
+    batch, gen_state, disc_state, step = setup
+    g2, d2, metrics = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # params actually changed
+    leaf0 = jax.tree_util.tree_leaves(gen_state.params)[0]
+    leaf1 = jax.tree_util.tree_leaves(g2.params)[0]
+    assert np.abs(np.asarray(leaf0 - leaf1)).max() > 0
+
+
+def test_loss_decreases_over_steps(setup):
+    batch, gen_state, disc_state, step = setup
+    first = last = None
+    for i in range(5):
+        gen_state, disc_state, metrics = step(gen_state, disc_state, batch,
+                                              jax.random.PRNGKey(i))
+        val = float(metrics["loss_mel"])
+        first = first if first is not None else val
+        last = val
+    assert np.isfinite(last)
+    assert last < first * 1.5  # not diverging on a fixed batch
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    from music_generation_tpu.train import restore_checkpoint, save_checkpoint
+    batch, gen_state, disc_state, step = setup
+    save_checkpoint(str(tmp_path), gen_state, disc_state, step=1)
+    g2, d2 = restore_checkpoint(str(tmp_path / "step_1"), gen_state, disc_state)
+    a = jax.tree_util.tree_leaves(gen_state.params)[0]
+    b = jax.tree_util.tree_leaves(g2.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multichip_dryrun_on_virtual_mesh():
+    """The driver's dryrun path: 8 virtual CPU devices, dp x tp mesh."""
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("needs 8 virtual cpu devices")
+    tcfg = TrainConfig()
+    mesh = make_mesh(n_data=4, n_model=2, devices=cpus[:8])
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(TINY, batch=8, t_phones=8,
+                                         t_frames=32).items()}
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch)
+    step = make_train_step(gen, disc, TINY, tcfg)
+    with mesh:
+        bs = batch_sharding(mesh)
+        batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
+        gen_state = gen_state.replace(params=shard_params(gen_state.params, mesh))
+        disc_state = disc_state.replace(params=shard_params(disc_state.params, mesh))
+        g2, d2, metrics = jax.jit(step)(gen_state, disc_state, batch,
+                                        jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_gen"]))
