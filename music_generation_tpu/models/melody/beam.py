@@ -76,3 +76,41 @@ def beam_search(
 
     best = jnp.argmax(scores)
     return seqs[best, 1:], scores[best]
+
+
+def sample_decode(
+    decode_logits: Callable[[jnp.ndarray, int], jnp.ndarray],
+    rng: jax.Array,
+    max_len: int,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int = 0,
+    top_k: int = 10,
+    temperature: float = 1.0,
+    min_len: int = 0,
+):
+    """Top-k temperature sampling (the fairseq-style decode used by the
+    TeleMelody models: sampling=True, sampling_topk=K, temperature=T,
+    min_len). Single sequence; decode_logits contract as in beam_search but
+    with a [1, max_len+1] buffer. Returns tokens [max_len] (PAD after EOS)."""
+
+    def step_fn(carry, step):
+        tokens, finished, rng = carry
+        logprobs = decode_logits(tokens, step)[0] / temperature
+        # forbid EOS before min_len
+        logprobs = jnp.where(
+            (step < min_len) & (jnp.arange(logprobs.shape[-1]) == eos_id),
+            NEG_INF, logprobs)
+        vals, idx = jax.lax.top_k(logprobs, top_k)
+        rng, sub = jax.random.split(rng)
+        choice = jax.random.categorical(sub, vals)
+        nxt = idx[choice]
+        nxt = jnp.where(finished, pad_id, nxt)
+        finished = finished | (nxt == eos_id)
+        tokens = tokens.at[0, step + 1].set(nxt)
+        return (tokens, finished, rng), None
+
+    tokens0 = jnp.full((1, max_len + 1), pad_id, jnp.int32).at[0, 0].set(bos_id)
+    (tokens, _, _), _ = jax.lax.scan(
+        step_fn, (tokens0, jnp.asarray(False), rng), jnp.arange(max_len))
+    return tokens[0, 1:]

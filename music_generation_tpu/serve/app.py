@@ -50,14 +50,48 @@ class MusicGenerationService:
 
     def __init__(self, song_synthesizer, lyric_generator=None,
                  cfg: Optional[ServiceConfig] = None,
-                 logger: Optional[logging.Logger] = None):
+                 logger: Optional[logging.Logger] = None,
+                 shell_backend=None):
         self.songs = song_synthesizer
         self.lyrics = lyric_generator
         self.cfg = cfg or ServiceConfig()
         self.logger = logger or make_logger(self.cfg)
+        self.shell_backend = shell_backend
         self._lock = threading.Lock()
 
+    def handle_pipeline(self, data: dict) -> dict:
+        """Shell-pipeline path (v1 controller parity): mode heuristics ->
+        ShellPipelineBackend -> {mode, lyrics, lrc, audio}."""
+        from .modes import decide_mode
+        mode, payload = decide_mode(data)
+        if mode is None:
+            return {"code": 201,
+                    "message": "输入参数错误：请提供 keyword/theme（主题）或 "
+                               "text/raw_lyrics（歌词）。"}
+        self.logger.info("判定模式：%s；payload_keys=%s", mode,
+                         list(payload.keys()))
+        try:
+            result = self.shell_backend.run(payload)
+            with open(result["audio_path"], "rb") as f:
+                audio_b64 = base64.b64encode(f.read()).decode("ascii")
+            return {"code": 200, "message": "success！",
+                    "data": {"mode": mode, "lyrics": result["lyrics"],
+                             "lrc": result["lrc"], "audio": audio_b64}}
+        except Exception:
+            self.logger.error("pipeline failed:\n%s", traceback.format_exc())
+            return {"code": 203, "message": "服务器错误：生成失败（pipeline）"}
+
     def handle_synthesis(self, data: dict) -> dict:
+        if self.cfg.backend == "shell" and self.shell_backend is not None:
+            result = self.handle_pipeline(data)
+            # graceful fallback to the model path (parity:
+            # controllers_music_generation_svs_v5/syn_music.py:97-120)
+            if result["code"] == 200 or self.songs is None:
+                return result
+            self.logger.info("shell backend failed -> falling back to model path")
+        return self._handle_model_path(data)
+
+    def _handle_model_path(self, data: dict) -> dict:
         text = str(data.get("text", "") or "").strip()
         if not text:
             keyword = str(data.get("keyword", "") or data.get("theme", "") or "").strip()
@@ -162,7 +196,10 @@ def main(argv=None):
                       num_layers=1, num_decoder_layers=1, num_heads=4)
              if cfg.tiny else T5Config(vocab_size=tok.vocab_size))
     lyric_gen = LyricGeneratorT5(t5cfg, tokenizer=tok)
-    service = MusicGenerationService(songs, lyric_gen, cfg, logger)
+    from ..pipeline.shell_backend import ShellPipelineBackend
+    shell = ShellPipelineBackend(lyric_fn=lyric_gen.generate)
+    service = MusicGenerationService(songs, lyric_gen, cfg, logger,
+                                     shell_backend=shell)
 
     server = make_http_server(service, cfg.host, cfg.port)
     logger.info("serving on %s:%d", cfg.host, cfg.port)
