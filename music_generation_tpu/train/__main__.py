@@ -1,0 +1,113 @@
+"""Training CLI for the VISinger GAN (SPMD over all local devices).
+
+Usage:
+  python -m music_generation_tpu.train --steps 1000 --ckpt-dir ./ckpts \
+      [--data-dir preprocessed_npy_dir] [--tiny] [--n-model 1]
+
+Data: either synthetic batches (smoke / throughput measurement) or a
+directory of preprocessed .npy arrays following the reference's cpop layout
+(cpop_text_preprocessor.py main(): *-phone-ids.npy, *-note-ids.npy,
+*-note-duration-ids.npy, *-phone-duration.npy + *-wav.npy/-spec.npy).
+"""
+
+import argparse
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--ckpt-dir", default="./checkpoints")
+    p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--n-model", type=int, default=1,
+                   help="tensor-parallel width (mesh model axis)")
+    p.add_argument("--data-dir", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.svs import SVSConfig
+    from ..parallel import batch_sharding, make_mesh, shard_params
+    from . import (TrainConfig, create_states, make_train_step,
+                   restore_checkpoint, save_checkpoint, synthetic_batch)
+
+    if args.tiny:
+        svs_cfg = SVSConfig(
+            inter_channels=16, hidden_channels=16, filter_channels=32,
+            n_heads=2, n_layers=1, spec_channels=65,
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+            upsample_rates=(4, 4), upsample_initial_channel=32,
+            upsample_kernel_sizes=(8, 8), segment_size=16 * 8, hop_length=16)
+        t_phones, t_frames = 8, 32
+    else:
+        svs_cfg = SVSConfig()
+        t_phones, t_frames = 64, 480
+
+    tcfg = TrainConfig()
+    n_dev = len(jax.devices())
+    n_model = args.n_model
+    n_data = max(n_dev // n_model, 1)
+    mesh = make_mesh(n_data=n_data, n_model=n_model,
+                     devices=jax.devices()[: n_data * n_model])
+    print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
+
+    dataset = None
+    if args.data_dir:
+        from .dataset import NpyDataset
+        dataset = NpyDataset(args.data_dir, svs_cfg, t_phones=t_phones,
+                             t_frames=t_frames)
+        print(f"dataset: {len(dataset)} utterances from {args.data_dir}")
+
+    def next_batch(step):
+        if dataset is not None:
+            return {k: jnp.asarray(v)
+                    for k, v in dataset.batch(args.batch_size).items()}
+        return {k: jnp.asarray(v) for k, v in synthetic_batch(
+            svs_cfg, batch=args.batch_size, t_phones=t_phones,
+            t_frames=t_frames, seed=step).items()}
+
+    batch = next_batch(0)
+    gen_state, disc_state, gen, disc = create_states(svs_cfg, tcfg, batch)
+    if args.resume:
+        gen_state, disc_state = restore_checkpoint(args.resume, gen_state,
+                                                   disc_state)
+        print(f"resumed from {args.resume} at step {int(gen_state.step)}")
+
+    train_step = make_train_step(gen, disc, svs_cfg, tcfg)
+    rng = jax.random.PRNGKey(tcfg.seed)
+
+    with mesh:
+        bs = batch_sharding(mesh)
+        gen_state = gen_state.replace(params=shard_params(gen_state.params, mesh))
+        disc_state = disc_state.replace(params=shard_params(disc_state.params, mesh))
+        step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+
+        t0 = time.time()
+        for step in range(args.steps):
+            rng, sub = jax.random.split(rng)
+            batch = {k: jax.device_put(v, bs)
+                     for k, v in next_batch(step).items()}
+            gen_state, disc_state, metrics = step_fn(gen_state, disc_state,
+                                                     batch, sub)
+            if step % args.log_every == 0:
+                m = {k: round(float(v), 4) for k, v in metrics.items()}
+                dt = time.time() - t0
+                print(f"step {step} ({dt:.1f}s): {m}")
+            if args.ckpt_every and step and step % args.ckpt_every == 0:
+                save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state,
+                                disc_state, step)
+        save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state, disc_state,
+                        args.steps)
+        total = time.time() - t0
+        print(f"done: {args.steps} steps in {total:.1f}s "
+              f"({args.steps * args.batch_size / total:.2f} samples/s)")
+
+
+if __name__ == "__main__":
+    main()

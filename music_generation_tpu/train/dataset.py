@@ -1,0 +1,153 @@
+"""Dataset pipeline: cpop-style preprocessing + bucketed npy batch loader.
+
+Replaces the reference's offline preprocessor (cpop_text_preprocessor.py
+main(): per-utterance .npy files) and its mmap IndexedDataset
+(VISinger/utils/indexed_datasets.py) with a simple npy-per-field layout and a
+host-side bucketing loader that emits fixed-shape batches for the jitted
+train step.
+
+Transcription line format (parity with ../datasets/transcriptions.txt):
+  name|text|phones|notes|note_durations|phone_durations
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..audio.stft import spectrogram
+from ..frontend import ScoreFrontend, note_id
+from ..frontend.vocab import phone_vocab, shengdiao_vocab
+from ..models.svs import SVSConfig
+
+FIELDS = ("phone-ids", "note-ids", "note-durations", "phone-duration",
+          "shengdiao-ids")
+
+
+def quantize_phone_durations(durations: list[float],
+                             frame_len: float = 0.0125) -> list[int]:
+    """Seconds -> frame counts with bias carry (parity:
+    cpop_text_preprocessor.format_phone_duration :108-145)."""
+    K = 10_000_000
+    frame = int(frame_len * K)
+    total = sum(durations)
+    n_target = int(total * K) // frame + (1 if int(total * K) % frame else 0)
+    out, bias = [], 0
+    for d in durations:
+        di = int(K * d) + bias
+        if di < frame:
+            n, bias = 1, di - frame
+        else:
+            n, left = divmod(di, frame)
+            if left / frame > 0.5:
+                n += 1
+                bias = left - frame
+            else:
+                bias = left
+        out.append(n)
+    if bias > 0:
+        out[-1] += 1
+    if sum(out) != n_target:
+        out[-1] -= 1
+    return out
+
+
+def preprocess_transcriptions(path: str, out_dir: str) -> int:
+    """Offline id-ification of a transcription file -> npy files."""
+    os.makedirs(out_dir, exist_ok=True)
+    pv, sv = phone_vocab(), shengdiao_vocab()
+    n = 0
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            name, _text, phones, notes, note_durs, phone_durs = \
+                line.split("|")[:6]
+            base = os.path.join(out_dir, name)
+            tone_phones = phones.split(" ")
+            plain = " ".join(p.rstrip("12345") for p in tone_phones)
+            np.save(f"{base}-phone-ids.npy",
+                    np.asarray(pv.encode(plain), np.int32))
+            np.save(f"{base}-shengdiao-ids.npy",
+                    np.asarray(sv.encode(phones), np.int32))
+            np.save(f"{base}-note-ids.npy",
+                    np.asarray([note_id(x) for x in notes.split(" ")],
+                               np.int32))
+            np.save(f"{base}-note-durations.npy",
+                    np.asarray([float(x) for x in note_durs.split(" ")],
+                               np.float32))
+            np.save(f"{base}-phone-duration.npy",
+                    np.asarray(quantize_phone_durations(
+                        [float(x) for x in phone_durs.split(" ")]), np.int32))
+            n += 1
+    return n
+
+
+@dataclass
+class NpyDataset:
+    """Bucketing batch loader over preprocessed npy files + wavs."""
+    data_dir: str
+    cfg: SVSConfig
+    t_phones: int = 64
+    t_frames: int = 480
+    seed: int = 0
+
+    def __post_init__(self):
+        ids = sorted(p[: -len("-phone-ids.npy")] for p in
+                     glob.glob(os.path.join(self.data_dir, "*-phone-ids.npy")))
+        self.names = [os.path.basename(p) for p in ids]
+        self._rng = np.random.RandomState(self.seed)
+
+    def __len__(self):
+        return len(self.names)
+
+    def _load(self, name):
+        base = os.path.join(self.data_dir, name)
+        item = {f: np.load(f"{base}-{f}.npy") for f in FIELDS
+                if os.path.exists(f"{base}-{f}.npy")}
+        wav_path = f"{base}-wav.npy"
+        if os.path.exists(wav_path):
+            item["wav"] = np.load(wav_path)
+        return item
+
+    def batch(self, batch_size: int) -> dict:
+        """Fixed-shape batch dict matching train.data.BATCH_KEYS."""
+        cfg = self.cfg
+        picks = self._rng.choice(len(self.names), batch_size)
+        out = {
+            "phones": np.zeros((batch_size, self.t_phones), np.int32),
+            "x_lengths": np.zeros((batch_size,), np.int32),
+            "note_ids": np.zeros((batch_size, self.t_phones), np.int32),
+            "note_durations": np.zeros((batch_size, self.t_phones), np.float32),
+            "phone_durations": np.zeros((batch_size, self.t_phones), np.int32),
+            "shengdiao": np.zeros((batch_size, self.t_phones), np.int32),
+            "y_lengths": np.zeros((batch_size,), np.int32),
+            "audio": np.zeros((batch_size, self.t_frames * cfg.hop_length, 1),
+                              np.float32),
+            "f0_score": np.ones((batch_size, self.t_frames), np.int32),
+            "log_f0": np.zeros((batch_size, self.t_frames), np.float32),
+        }
+        for i, pick in enumerate(picks):
+            item = self._load(self.names[pick])
+            t = min(len(item["phone-ids"]), self.t_phones)
+            out["phones"][i, :t] = item["phone-ids"][:t]
+            out["x_lengths"][i] = t
+            out["note_ids"][i, :t] = item["note-ids"][:t]
+            out["note_durations"][i, :t] = item["note-durations"][:t]
+            pd = item["phone-duration"][:t]
+            out["phone_durations"][i, :t] = pd
+            out["y_lengths"][i] = min(int(pd.sum()), self.t_frames)
+            if "shengdiao-ids" in item:
+                out["shengdiao"][i, :t] = item["shengdiao-ids"][:t]
+            if "wav" in item:
+                w = item["wav"][: self.t_frames * cfg.hop_length]
+                out["audio"][i, : len(w), 0] = w
+        spec = np.asarray(spectrogram(
+            out["audio"][..., 0], n_fft=2 * (cfg.spec_channels - 1),
+            hop=cfg.hop_length, win_length=2 * (cfg.spec_channels - 1)))
+        out["spec"] = spec[:, : self.t_frames].astype(np.float32)
+        return out

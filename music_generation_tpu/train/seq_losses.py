@@ -1,0 +1,68 @@
+"""Sequence-model training steps (melody transformer, lyric LMs).
+
+The reference ships no training code for these either; these are the standard
+objectives: label-smoothed CE for the lyric->note enc-dec, plain CE for the
+LMs, MSE in log-duration space for the MSE duration head, SDP NLL for the
+flow duration head.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cross_entropy(logits, targets, pad_id: int = 0,
+                  label_smoothing: float = 0.0):
+    """logits [B,T,V] (log-probs or raw — softmax applied), targets [B,T]."""
+    vocab = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(targets, vocab)
+    if label_smoothing > 0:
+        onehot = onehot * (1 - label_smoothing) + label_smoothing / vocab
+    nll = -jnp.sum(onehot * logp, axis=-1)
+    mask = (targets != pad_id).astype(nll.dtype)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def melody_note_loss(model, params, batch, dropout_rng):
+    """Teacher-forced lyric->note loss. batch: src, tgt_in, tgt_out, masks."""
+    from ..models.melody.transformer import causal_mask
+    src, tgt_in, tgt_out = batch["src"], batch["tgt_in"], batch["tgt_out"]
+    src_attn = (src != 0)[:, None, None, :].astype(jnp.int32)
+    tmask = causal_mask(tgt_in.shape[1])
+    logits = model.apply(params, src, tgt_in, src_attn, tmask,
+                         deterministic=False, rngs={"dropout": dropout_rng})
+    return cross_entropy(logits, tgt_out, label_smoothing=0.1)
+
+
+def duration_mse_loss(model, params, batch, dropout_rng):
+    """log-duration regression (MSE family): targets in centiseconds."""
+    src = batch["src"]
+    src_attn = (src != 0)[:, None, None, :].astype(jnp.int32)
+    out = model.apply(params, src, src_attn, deterministic=False,
+                      rngs={"dropout": dropout_rng})
+    target = jnp.log1p(batch["durations_cs"].astype(jnp.float32))
+    mask = (src != 0).astype(jnp.float32)
+    return jnp.sum(((out - target) ** 2) * mask) / jnp.maximum(mask.sum(), 1.0)
+
+
+def lm_loss(model, params, batch, dropout_rng=None):
+    """Causal LM loss for GPT-2: predict ids[t+1] from ids[<=t]."""
+    ids = batch["ids"]
+    logits = model.apply(params, ids[:, :-1])
+    return cross_entropy(logits, ids[:, 1:], pad_id=batch.get("pad_id", 0))
+
+
+def make_seq_train_step(loss_fn, model, optimizer):
+    """Generic optax train step factory for the sequence models."""
+
+    def step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(model, p, batch, rng))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

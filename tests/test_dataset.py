@@ -1,0 +1,55 @@
+"""Dataset pipeline tests: preprocessing parity + bucketed loading."""
+
+import numpy as np
+import pytest
+
+from music_generation_tpu.models.svs import SVSConfig
+from music_generation_tpu.train.dataset import (NpyDataset,
+                                                preprocess_transcriptions,
+                                                quantize_phone_durations)
+
+TINY = SVSConfig(spec_channels=65, hop_length=16)
+
+TRANSCRIPTION = (
+    "utt001|你好|n i3 h ao3|C4 C4 D4 D4|0.3 0.3 0.4 0.4|0.1 0.2 0.15 0.25\n"
+    "utt002|世界|sh i4 j ie4|E4 E4 F4 F4|0.5 0.5 0.3 0.3|0.2 0.3 0.1 0.2\n"
+)
+
+
+def test_quantize_phone_durations_conserves_frames():
+    durs = [0.1, 0.2, 0.15, 0.25]
+    frames = quantize_phone_durations(durs)
+    total = sum(durs)
+    n_target = int(total * 1e7) // int(0.0125 * 1e7)
+    if int(total * 1e7) % int(0.0125 * 1e7):
+        n_target += 1
+    assert sum(frames) == n_target
+    assert all(f >= 1 for f in frames)
+
+
+def test_preprocess_and_load(tmp_path):
+    trans = tmp_path / "transcriptions.txt"
+    trans.write_text(TRANSCRIPTION, encoding="utf-8")
+    out_dir = tmp_path / "npy"
+    n = preprocess_transcriptions(str(trans), str(out_dir))
+    assert n == 2
+
+    phones = np.load(out_dir / "utt001-phone-ids.npy")
+    assert phones.dtype == np.int32 and len(phones) == 4
+    notes = np.load(out_dir / "utt001-note-ids.npy")
+    assert (notes == [60, 60, 62, 62]).all()
+
+    # add fake wavs so the loader builds audio/spec
+    for name in ("utt001", "utt002"):
+        np.save(out_dir / f"{name}-wav.npy",
+                np.random.RandomState(0).uniform(-0.1, 0.1, 2048)
+                .astype(np.float32))
+
+    ds = NpyDataset(str(out_dir), TINY, t_phones=8, t_frames=32)
+    assert len(ds) == 2
+    batch = ds.batch(4)
+    assert batch["phones"].shape == (4, 8)
+    assert batch["spec"].shape == (4, 32, 65)
+    assert batch["audio"].shape == (4, 32 * 16, 1)
+    assert (batch["x_lengths"] == 4).all()
+    assert (batch["y_lengths"] > 0).all()
