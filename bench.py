@@ -30,6 +30,7 @@ def run_song(synth, melody):
     from music_generation_tpu.audio.wav import (concat_with_delay,
                                                 normalize_int16,
                                                 write_wav_bytes)
+    t0 = time.time()
     scores, prev = [], None
     for k, sentence in enumerate(SENTENCES):
         out_lyric, note_tokens, _ = melody.generate(sentence, index=k,
@@ -39,9 +40,12 @@ def run_song(synth, melody):
                  for m in note_tokens]
         durations = [SYLLABLE_SECONDS] * (len(out_lyric) - 1) + [0.6]
         scores.append(synth.frontend.align(out_lyric, names, durations))
+    melody_s = time.time() - t0
+    t0 = time.time()
     wavs = [normalize_int16(w) for w in synth.synthesize_batch(scores)]
+    svs_s = time.time() - t0
     song = concat_with_delay(wavs, 0.2)
-    return write_wav_bytes(song)
+    return write_wav_bytes(song), melody_s, svs_s
 
 
 def main():
@@ -58,7 +62,7 @@ def main():
     warmup_s = time.time() - t0
 
     t0 = time.time()
-    wav_bytes = run_song(svs, melody)
+    wav_bytes, melody_s, svs_s = run_song(svs, melody)
     e2e_s = time.time() - t0
 
     import io
@@ -74,6 +78,8 @@ def main():
         "audio_seconds": round(audio_s, 2),
         "pipeline_rtf": round(e2e_s / max(audio_s, 1e-6), 4),
         "n_sentences": len(SENTENCES),
+        "melody_s": round(melody_s, 3),
+        "svs_s": round(svs_s, 3),
         "warmup_s": round(warmup_s, 2),
         "build_s": round(build_s, 2),
     }))

@@ -96,18 +96,20 @@ def maximum_path_jax(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
-def _mas_kernel(tys_ref, txs_ref, value_ref, path_ref, acc_ref):
-    """One batch item per grid step. value_ref: [Ty, Tx] VMEM; path out."""
+def _mas_kernel(t_y_n, t_x_n, value_ref, path_ref, acc_ref):
+    """One batch item per grid step. value_ref: [Ty, Tx] VMEM; path out.
+
+    Mosaic-friendly: row reads/writes via pl.ds on refs, scalar gathers
+    expressed as masked row reductions (VPU ops), no dynamic_slice on arrays.
+    """
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     t_y, t_x = value_ref.shape
-    t_y_n = tys_ref[0]
-    t_x_n = txs_ref[0]
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, t_x), 1)
 
     def fwd(y, prev_row):
-        row = value_ref[y, :][None, :]
+        row = value_ref[pl.ds(y, 1), :]
         shifted = jnp.concatenate(
             [jnp.full((1, 1), MAX_NEG, jnp.float32), prev_row[:, :-1]], axis=1)
         v_prev = jnp.where(xs == 0,
@@ -117,24 +119,25 @@ def _mas_kernel(tys_ref, txs_ref, value_ref, path_ref, acc_ref):
         hi = jnp.minimum(t_x_n, y + 1)
         active = (xs >= lo) & (xs < hi)
         new_row = jnp.where(active, row + jnp.maximum(v_prev, v_cur), row)
-        acc_ref[y, :] = new_row[0]
+        acc_ref[pl.ds(y, 1), :] = new_row
         return new_row
 
     jax.lax.fori_loop(0, t_y, fwd, jnp.full((1, t_x), MAX_NEG, jnp.float32))
 
-    path_ref[...] = jnp.zeros((t_y, t_x), jnp.float32)
-
     def bwd(i, index):
         y = t_y - 1 - i
         active = y < t_y_n
-        onehot = (xs[0] == index).astype(jnp.float32) * active.astype(jnp.float32)
-        path_ref[y, :] = onehot
-        prev = jnp.where(y > 0, acc_ref[jnp.maximum(y - 1, 0), :], MAX_NEG)
-        v_stay = prev[index]
-        v_diag = prev[jnp.maximum(index - 1, 0)]
+        onehot = ((xs == index) & active).astype(jnp.float32)
+        path_ref[pl.ds(y, 1), :] = onehot
+        prev = jnp.where(y > 0,
+                         acc_ref[pl.ds(jnp.maximum(y - 1, 0), 1), :], MAX_NEG)
+        # masked-reduction scalar gathers (no dynamic_slice in Mosaic)
+        v_stay = jnp.sum(jnp.where(xs == index, prev, 0.0))
+        v_diag = jnp.sum(jnp.where(xs == jnp.maximum(index - 1, 0), prev, 0.0))
         move = (index != 0) & ((index == y) | (v_stay < v_diag))
         return jnp.where(active & move, index - 1, index)
 
+    path_ref[...] = jnp.zeros((t_y, t_x), jnp.float32)
     jax.lax.fori_loop(0, t_y, bwd, t_x_n - 1)
 
 
@@ -143,10 +146,14 @@ def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, t_y, t_x = neg_cent.shape
+    b, t_y0, t_x0 = neg_cent.shape
     t_ys = mask[:, :, 0].sum(axis=1).astype(jnp.int32)
     t_xs = mask[:, 0, :].sum(axis=1).astype(jnp.int32)
     values = jnp.where(mask > 0, neg_cent, 0.0).astype(jnp.float32)
+    # Mosaic tiling: lane (last) dim 128-aligned, sublane 8-aligned.
+    t_x = -(-t_x0 // 128) * 128
+    t_y = -(-t_y0 // 8) * 8
+    values = jnp.pad(values, ((0, 0), (0, t_y - t_y0), (0, t_x - t_x0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -160,7 +167,7 @@ def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
 
     def kernel(tys_ref, txs_ref, value_ref, path_ref, acc_ref):
         i = pl.program_id(0)
-        _mas_kernel(tys_ref.at[pl.ds(i, 1)], txs_ref.at[pl.ds(i, 1)],
+        _mas_kernel(tys_ref[i], txs_ref[i],
                     value_ref.at[0], path_ref.at[0], acc_ref)
 
     path = pl.pallas_call(
@@ -168,7 +175,7 @@ def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, t_y, t_x), jnp.float32),
     )(t_ys, t_xs, values)
-    return path * mask
+    return path[:, :t_y0, :t_x0] * mask
 
 
 def maximum_path(neg_cent, mask, backend: str = "auto"):

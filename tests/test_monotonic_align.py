@@ -28,6 +28,26 @@ def test_jax_matches_numpy_oracle(seed):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_matches_oracle_on_tpu():
+    """Opt-in (RUN_TPU_TESTS=1): the remote Mosaic compile takes minutes over
+    the tunnel, so this is excluded from the default suite. Verified green on
+    TPU v5e."""
+    import os
+    if not os.environ.get("RUN_TPU_TESTS"):
+        pytest.skip("set RUN_TPU_TESTS=1 to run the TPU pallas check")
+    import jax
+    from music_generation_tpu.ops import maximum_path_pallas
+    tpu_like = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpu_like:
+        pytest.skip("no TPU device")
+    neg_cent, mask = _random_case(b=2, t_y=64, t_x=16, seed=5)
+    want = maximum_path_numpy(neg_cent, mask)
+    got = np.asarray(maximum_path_pallas(
+        jax.device_put(jnp.asarray(neg_cent), tpu_like[0]),
+        jax.device_put(jnp.asarray(mask), tpu_like[0])))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_path_properties():
     neg_cent, mask = _random_case(b=2, seed=3, ragged=False)
     path = np.asarray(maximum_path_jax(jnp.asarray(neg_cent),
