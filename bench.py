@@ -31,11 +31,8 @@ def run_song(synth, melody):
                                                 normalize_int16,
                                                 write_wav_bytes)
     t0 = time.time()
-    scores, prev = [], None
-    for k, sentence in enumerate(SENTENCES):
-        out_lyric, note_tokens, _ = melody.generate(sentence, index=k,
-                                                    previous_notes=prev)
-        prev = note_tokens
+    scores = []
+    for out_lyric, note_tokens, _ in melody.generate_song(SENTENCES):
         names = [midi_to_note(int(m)) if m != "rest" else "rest"
                  for m in note_tokens]
         durations = [SYLLABLE_SECONDS] * (len(out_lyric) - 1) + [0.6]

@@ -74,6 +74,7 @@ class SVSConfig:
     n_speakers: int = 0
     gin_channels: int = 0
     autoencoder: bool = True          # models_ae variant (SpecDecoder path)
+    decoder_bf16: bool = False        # run the HiFi-GAN stack in bfloat16
     sampling_rate: int = 22050
     hop_length: int = 256
     frame_seconds: float = 0.0116     # duration->frames divisor (models.py:639)
@@ -252,9 +253,15 @@ class VISinger(nn.Module):
         if self.cfg.autoencoder:
             spec_predict = self.spec_decoder(z, y_mask,
                                              deterministic=deterministic)
-            hidden = self.spec_proj(spec_predict)
-            return self.decoder(hidden * y_mask, g=g), spec_predict
-        return self.decoder(z * y_mask, g=g), None
+            hidden = self.spec_proj(spec_predict) * y_mask
+        else:
+            spec_predict = None
+            hidden = z * y_mask
+        if self.cfg.decoder_bf16:
+            # vocoder convs on the MXU in bf16; output back to f32
+            audio = self.decoder(hidden.astype(jnp.bfloat16), g=g)
+            return audio.astype(jnp.float32), spec_predict
+        return self.decoder(hidden, g=g), spec_predict
 
     def infer(self, phones, x_lengths, note_ids, note_durations, shengdiao,
               max_frames: int, noise_scale: float = 1.0,

@@ -191,13 +191,21 @@ class SongSynthesizer:
         all_notes, previous_midis = [], []
         t_start = time.time()
 
-        # Phase 1 (sequential — previous-sentence conditioning): melody.
+        # Phase 1: melody. One fused device program when the generator
+        # supports whole-song generation (on-device prev-sentence
+        # conditioning); per-sentence host loop otherwise.
         t0 = time.time()
         scores = []
-        for k, sentence in enumerate(sentences):
-            out_lyric, note_tokens, durations = self.melody.generate(
-                sentence, index=k, previous_notes=previous_midis or None)
-            previous_midis = note_tokens
+        if hasattr(self.melody, "generate_song"):
+            outs = self.melody.generate_song(sentences)
+        else:
+            outs = []
+            for k, sentence in enumerate(sentences):
+                out = self.melody.generate(sentence, index=k,
+                                           previous_notes=previous_midis or None)
+                previous_midis = out[1]
+                outs.append(out)
+        for out_lyric, note_tokens, durations in outs:
             note_names = [midi_to_note(int(m)) if m != "rest" else "rest"
                           for m in note_tokens]
             all_notes.append(note_names)

@@ -173,6 +173,11 @@ def main(argv=None):
     parser.add_argument("--host", default=None)
     parser.add_argument("--tiny", action="store_true",
                         help="random tiny models (smoke testing)")
+    parser.add_argument("--variant", default="svs_v6_multispeaker",
+                        choices=["v1", "melody_v2", "svs_v5",
+                                 "svs_v5_multispeaker", "svs_v6_multispeaker"],
+                        help="reference server variant preset")
+    parser.add_argument("--lyric-model", default="t5", choices=["t5", "gpt2"])
     args = parser.parse_args(argv)
 
     cfg = ServiceConfig.from_file(args.config) if args.config else ServiceConfig()
@@ -185,17 +190,34 @@ def main(argv=None):
         cfg.tiny = True
 
     logger = make_logger(cfg)
-    logger.info("loading models (tiny=%s)...", cfg.tiny)
-    from ..pipeline import build_default_song_synthesizer
-    from ..models.lyrics import LyricGeneratorT5, T5Config, CharTokenizer
+    from .variants import VARIANTS, build_melody_generator
+    spec = VARIANTS[args.variant]
+    if spec.backend == "shell":
+        cfg.backend = "shell"
+    cfg.n_speakers = max(cfg.n_speakers, spec.n_speakers)
+    logger.info("loading models (variant=%s tiny=%s)...", spec.name, cfg.tiny)
+
+    from ..pipeline import SongSynthesizer, build_default_song_synthesizer
+    from ..models.lyrics import (CharTokenizer, GPT2Config, LyricGeneratorGPT2,
+                                 LyricGeneratorT5, T5Config)
 
     songs = build_default_song_synthesizer(tiny=cfg.tiny,
                                            n_speakers=cfg.n_speakers)
+    if spec.melody != "mse":  # swap in the variant's melody family
+        songs = SongSynthesizer(build_melody_generator(spec, tiny=cfg.tiny),
+                                songs.synthesizers)
     tok = CharTokenizer()
-    t5cfg = (T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64,
-                      num_layers=1, num_decoder_layers=1, num_heads=4)
-             if cfg.tiny else T5Config(vocab_size=tok.vocab_size))
-    lyric_gen = LyricGeneratorT5(t5cfg, tokenizer=tok)
+    if args.lyric_model == "gpt2":
+        gcfg = (GPT2Config(vocab_size=tok.vocab_size, n_layer=1, n_embd=32,
+                           n_head=2, n_positions=128) if cfg.tiny
+                else GPT2Config(vocab_size=tok.vocab_size))
+        lyric_gen = LyricGeneratorGPT2(gcfg, tokenizer=tok)
+    else:
+        t5cfg = (T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8,
+                          d_ff=64, num_layers=1, num_decoder_layers=1,
+                          num_heads=4)
+                 if cfg.tiny else T5Config(vocab_size=tok.vocab_size))
+        lyric_gen = LyricGeneratorT5(t5cfg, tokenizer=tok)
     from ..pipeline.shell_backend import ShellPipelineBackend
     shell = ShellPipelineBackend(lyric_fn=lyric_gen.generate)
     service = MusicGenerationService(songs, lyric_gen, cfg, logger,
