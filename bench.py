@@ -39,7 +39,7 @@ def run_song(synth, melody):
         scores.append(synth.frontend.align(out_lyric, names, durations))
     melody_s = time.time() - t0
     t0 = time.time()
-    wavs = [normalize_int16(w) for w in synth.synthesize_batch(scores)]
+    wavs = synth.synthesize_batch(scores)  # int16, normalized on device
     svs_s = time.time() - t0
     song = concat_with_delay(wavs, 0.2)
     return write_wav_bytes(song), melody_s, svs_s
