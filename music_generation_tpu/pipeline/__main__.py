@@ -14,13 +14,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="song synthesis CLI")
     p.add_argument("output", help="output WAV path")
     p.add_argument("--text", help="lyrics text")
+    p.add_argument("--keyword", help="theme keyword (lyrics via the T5 LM; "
+                                     "parity: melody_generate_with_keywords_v2)")
     p.add_argument("--score", help="pipe-format score line "
                                    "(name|lyrics|pitches|durations)")
     p.add_argument("--singer-id", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
-    if not args.text and not args.score:
-        p.error("need --text or --score")
+    if not args.text and not args.score and not args.keyword:
+        p.error("need --text, --keyword or --score")
 
     from .synthesis import build_default_song_synthesizer
     from ..audio.wav import normalize_int16, write_wav
@@ -34,7 +36,17 @@ def main(argv=None):
         wav = synth.synthesizers[0].synthesize_pipe_format(args.score)
         write_wav(args.output, normalize_int16(wav))
     else:
-        result = synth.synthesize_song(args.text, singer_id=args.singer_id)
+        text = args.text
+        if not text:
+            from ..models.lyrics import CharTokenizer, LyricGeneratorT5, T5Config
+            tok = CharTokenizer()
+            cfg = (T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8,
+                            d_ff=64, num_layers=1, num_decoder_layers=1,
+                            num_heads=4) if args.tiny
+                   else T5Config(vocab_size=tok.vocab_size))
+            text = LyricGeneratorT5(cfg, tokenizer=tok).generate(args.keyword)
+            print(f"lyrics: {text}", file=sys.stderr)
+        result = synth.synthesize_song(text, singer_id=args.singer_id)
         with open(args.output, "wb") as f:
             f.write(result.wav_bytes)
     print(f"synthesized in {time.time() - t0:.2f}s -> {args.output}",

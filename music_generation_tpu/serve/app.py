@@ -140,6 +140,24 @@ def make_http_server(service: MusicGenerationService, host: str, port: int):
             if self.path.rstrip("/") in ("", "/healthz", "healthz") or \
                     self.path == "/healthz":
                 self._send_json({"ok": True})
+            elif self.path.startswith("/syn_outputs/"):
+                # static output serving (parity: the v1 app exposes
+                # syn_outputs/ for the demo UI)
+                rel = os.path.normpath(self.path[len("/syn_outputs/"):])
+                base = os.path.abspath("./syn_outputs")
+                full = os.path.abspath(os.path.join(base, rel))
+                if full.startswith(base + os.sep) and os.path.isfile(full):
+                    with open(full, "rb") as f:
+                        body = f.read()
+                    ctype = ("audio/wav" if full.endswith(".wav")
+                             else "text/plain; charset=utf-8")
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._send_json({"code": 404, "message": "not found"}, 404)
             else:
                 self._send_json({"code": 404, "message": "not found"}, 404)
 
@@ -178,6 +196,9 @@ def main(argv=None):
                                  "svs_v5_multispeaker", "svs_v6_multispeaker"],
                         help="reference server variant preset")
     parser.add_argument("--lyric-model", default="t5", choices=["t5", "gpt2"])
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="orbax pipeline checkpoints (compat.save_pipeline"
+                             " / tools/import_reference_checkpoints.py)")
     args = parser.parse_args(argv)
 
     cfg = ServiceConfig.from_file(args.config) if args.config else ServiceConfig()
@@ -188,6 +209,8 @@ def main(argv=None):
         cfg.host = args.host
     if args.tiny:
         cfg.tiny = True
+    if args.checkpoint_dir:
+        cfg.checkpoint_dir = args.checkpoint_dir
 
     logger = make_logger(cfg)
     from .variants import VARIANTS, build_melody_generator
@@ -206,6 +229,10 @@ def main(argv=None):
     if spec.melody != "mse":  # swap in the variant's melody family
         songs = SongSynthesizer(build_melody_generator(spec, tiny=cfg.tiny),
                                 songs.synthesizers)
+    if cfg.checkpoint_dir:
+        from ..compat import load_pipeline
+        load_pipeline(cfg.checkpoint_dir, songs)
+        logger.info("loaded checkpoints from %s", cfg.checkpoint_dir)
     tok = CharTokenizer()
     if args.lyric_model == "gpt2":
         gcfg = (GPT2Config(vocab_size=tok.vocab_size, n_layer=1, n_embd=32,
