@@ -28,7 +28,6 @@ def run_song(synth, melody):
     SVS call for all sentences; pinned durations."""
     from music_generation_tpu.frontend import midi_to_note
     from music_generation_tpu.audio.wav import (concat_with_delay,
-                                                normalize_int16,
                                                 write_wav_bytes)
     t0 = time.time()
     scores = []

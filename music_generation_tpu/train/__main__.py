@@ -27,9 +27,15 @@ def main(argv=None):
     p.add_argument("--n-model", type=int, default=1,
                    help="tensor-parallel width (mesh model axis)")
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host DCN; each "
+                        "host runs this same command)")
     args = p.parse_args(argv)
 
     import jax
+    if args.multihost:
+        jax.distributed.initialize()
+        print(f"process {jax.process_index()}/{jax.process_count()}")
     import jax.numpy as jnp
 
     from ..models.svs import SVSConfig

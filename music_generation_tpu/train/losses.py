@@ -13,8 +13,14 @@ import jax
 import jax.numpy as jnp
 
 
+LOGS_CLAMP = 7.0  # bounds exp(±2·logs) to ~1e6; keeps early GAN steps finite
+
+
 def kl_divergence(z_p, logs_q, m_p, logs_p, mask):
-    """KL(q||p) with q given by sample z_p ~ q (VITS form)."""
+    """KL(q||p) with q given by sample z_p ~ q (VITS form). Log-scales are
+    clamped so random-init steps can't overflow the loss."""
+    logs_p = jnp.clip(logs_p, -LOGS_CLAMP, LOGS_CLAMP)
+    logs_q = jnp.clip(logs_q, -LOGS_CLAMP, LOGS_CLAMP)
     kl = logs_p - logs_q - 0.5
     kl += 0.5 * (jnp.exp(2.0 * logs_q) + (z_p - m_p) ** 2) * jnp.exp(-2.0 * logs_p)
     return jnp.sum(kl * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -23,6 +29,7 @@ def kl_divergence(z_p, logs_q, m_p, logs_p, mask):
 def gaussian_nll(x, m, logs, mask):
     """Mean negative log-likelihood of x under N(m, exp(logs)) (reverse-KL
     surrogate for the z_hat sample mapped back through the flow)."""
+    logs = jnp.clip(logs, -LOGS_CLAMP, LOGS_CLAMP)
     nll = logs + 0.5 * ((x - m) ** 2) * jnp.exp(-2.0 * logs)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
