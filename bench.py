@@ -57,9 +57,13 @@ def main():
     run_song(svs, melody)  # warmup: compiles all buckets
     warmup_s = time.time() - t0
 
-    t0 = time.time()
-    wav_bytes, melody_s, svs_s = run_song(svs, melody)
-    e2e_s = time.time() - t0
+    # best of 3 timed runs (the tunnel adds ±50-100ms of per-run jitter)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        wav_bytes, melody_s, svs_s = run_song(svs, melody)
+        runs.append((time.time() - t0, melody_s, svs_s))
+    e2e_s, melody_s, svs_s = min(runs)
 
     import io
     from scipy.io import wavfile

@@ -117,6 +117,9 @@ class SVSSynthesizer:
             a = a * valid
             peak = jnp.maximum(jnp.abs(a).max(axis=1, keepdims=True), 0.01)
             out = (a * (32767.0 / peak)).astype(jnp.int16)
+            # pack int16 pairs as int32: the host link moves int32 ~5x faster
+            out = jax.lax.bitcast_convert_type(
+                out.reshape(out.shape[0], -1, 2), jnp.int32)
             return out, mel_len
         return jax.jit(run)
 
@@ -181,7 +184,8 @@ class SVSSynthesizer:
             stack("note_durations", np.float32),
             stack("shengdiao_ids", np.int32),
         )
-        audio = np.asarray(audio)  # int16, already peak-normalized on device
+        # unpack the int32-packed pairs back to int16 samples
+        audio = np.asarray(audio).view(np.int16).reshape(b_pad, -1)
         mel_len = np.asarray(mel_len)
         return [audio[i, : int(mel_len[i]) * self.cfg.hop_length]
                 for i in range(b)]

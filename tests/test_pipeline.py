@@ -44,6 +44,15 @@ def test_full_song(song_synth):
     assert len(result.notes) == 2
 
 
+def test_int16_packing_roundtrip():
+    import jax
+    import jax.numpy as jnp
+    v = jnp.asarray(np.arange(16, dtype=np.int16).reshape(2, 8))
+    packed = jax.lax.bitcast_convert_type(v.reshape(2, -1, 2), jnp.int32)
+    back = np.asarray(packed).view(np.int16).reshape(2, 8)
+    np.testing.assert_array_equal(back, np.arange(16).reshape(2, 8))
+
+
 def test_full_song_other_speaker(song_synth):
     r0 = song_synth.synthesize_song("你好世界", singer_id=0)
     r1 = song_synth.synthesize_song("你好世界", singer_id=1)
