@@ -87,6 +87,8 @@ def main(argv=None):
 
     train_step = make_train_step(gen, disc, svs_cfg, tcfg)
     rng = jax.random.PRNGKey(tcfg.seed)
+    from .metrics import MetricsWriter
+    metrics_writer = MetricsWriter(os.path.join(args.ckpt_dir, "logs"))
 
     with mesh:
         bs = batch_sharding(mesh)
@@ -105,6 +107,7 @@ def main(argv=None):
                 m = {k: round(float(v), 4) for k, v in metrics.items()}
                 dt = time.time() - t0
                 print(f"step {step} ({dt:.1f}s): {m}")
+                metrics_writer.write(step, metrics)
             if args.ckpt_every and step and step % args.ckpt_every == 0:
                 save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state,
                                 disc_state, step)

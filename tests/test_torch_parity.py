@@ -84,6 +84,76 @@ def parity_setup():
     return ref, VISinger(cfg), params
 
 
+def test_waveform_parity_non_ae():
+    """Same harness against the non-AE models.py variant."""
+    import jax.numpy as jnp
+    _load_reference_models_ae()  # installs stubs + sys.path
+    from VISinger import models as ref_models
+    from music_generation_tpu.compat.torch_import import (
+        visinger_params_from_torch)
+    from music_generation_tpu.models.svs import SVSConfig, VISinger
+
+    torch.manual_seed(1)
+    ref = ref_models.SynthesizerTrn(100, SPEC_CHANNELS, 128 // HOP, **SMALL)
+    ref.eval()
+    cfg = SVSConfig(
+        n_vocab=100, spec_channels=SPEC_CHANNELS, inter_channels=32,
+        hidden_channels=32, filter_channels=64, n_heads=2, n_layers=2,
+        kernel_size=3, p_dropout=0.1, resblock="2",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(4, 4), upsample_initial_channel=32,
+        upsample_kernel_sizes=(8, 8), segment_size=128, hop_length=HOP,
+        autoencoder=False)
+    params = visinger_params_from_torch(ref.state_dict(), cfg)
+    _compare(ref, VISinger(cfg), params, seed=3)
+
+
+def _compare(ref, model, params, seed=0):
+    import jax.numpy as jnp
+    from music_generation_tpu.models.svs import VISinger
+    rng = np.random.RandomState(seed)
+    T = 10
+    phones = rng.randint(3, 60, (1, T))
+    note_ids = rng.randint(40, 80, (1, T))
+    note_dur = rng.uniform(0.2, 0.5, (1, T)).astype(np.float32)
+    shengdiao = rng.randint(3, 250, (1, T))
+    noise = rng.randn(1, MAX_FRAMES, 32).astype(np.float32)
+
+    real_randn_like = torch.randn_like
+
+    def fake_randn_like(x):
+        t = x.shape[2]
+        return torch.from_numpy(np.transpose(noise[:, :t, :], (0, 2, 1)).copy())
+
+    torch.randn_like = fake_randn_like
+    try:
+        with torch.no_grad():
+            out = ref.infer(
+                torch.LongTensor(phones), torch.LongTensor([T]),
+                torch.LongTensor(note_ids), torch.FloatTensor(note_dur),
+                phone_shengdiao=torch.LongTensor(shengdiao),
+                noise_scale=1.0, length_scale=1)
+        ref_audio = out[0][0, 0].numpy()
+    finally:
+        torch.randn_like = real_randn_like
+
+    audio, mel_len, _ = model.apply(
+        params,
+        phones=jnp.asarray(phones, jnp.int32),
+        x_lengths=jnp.asarray([T], jnp.int32),
+        note_ids=jnp.asarray(note_ids, jnp.int32),
+        note_durations=jnp.asarray(note_dur),
+        shengdiao=jnp.asarray(shengdiao, jnp.int32),
+        max_frames=MAX_FRAMES, noise=jnp.asarray(noise),
+        method=VISinger.infer)
+    ours = np.asarray(audio[0, :, 0])
+    n = min(len(ref_audio), int(mel_len[0]) * HOP)
+    mae = np.abs(ref_audio[:n] - ours[:n]).mean()
+    print(f"waveform MAE={mae:.3e}, n={n}")
+    assert len(ref_audio) == int(mel_len[0]) * HOP
+    assert mae <= 1e-3
+
+
 def test_waveform_parity(parity_setup):
     import jax.numpy as jnp
     from music_generation_tpu.models.svs import VISinger
