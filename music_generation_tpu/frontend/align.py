@@ -70,6 +70,29 @@ class ScoreFrontend:
             phonemes=tuple(tone_str.split(" ")),
         )
 
+    def align_template(self, text: str):
+        """Phonemize `text` and return the phone->syllable index map instead
+        of consuming notes (for pipelines whose notes/durations materialize
+        on-device): (phone_ids, shengdiao_ids, syllable_idx, n_syllables),
+        all int32 numpy."""
+        phonemes = normalize_text(text, word_parse=False, lexicon=self.lexicon)
+        phonemes = phonemes.replace(".", "").strip()
+        syllables = phonemes.replace("s p", "SP").replace("a p", "AP").split(" ")
+
+        ph_seq: list[str] = []
+        syl_idx: list[int] = []
+        for pos, syl in enumerate(syllables):
+            units = (syl,) if syl in ("SP", "AP") else split_syllable(syl)
+            ph_seq.extend(units)
+            syl_idx.extend([pos] * len(units))
+
+        tone_str = " ".join(ph_seq).replace(",", "SP")
+        plain_str = _TONE_RE.sub("", tone_str)
+        return (np.asarray(self.phones.encode(plain_str), np.int32),
+                np.asarray(self.shengdiao.encode(tone_str), np.int32),
+                np.asarray(syl_idx, np.int32),
+                len(syllables))
+
     def align_pipe_format(self, line: str) -> ScoreInputs:
         """Parse the reference's 'name|lyrics|pitches|durations' text format
         (pipline_inference_svs_v6_multispeaker.py:97-105)."""

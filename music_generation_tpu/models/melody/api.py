@@ -140,7 +140,7 @@ class MelodyGenerator:
             rngs={"noise": noise_key})
         return w * mask
 
-    def _song_impl(self, params, src_all, lens_all, noise_key,
+    def _song_impl(self, params, duration_params, src_all, lens_all, noise_key,
                    max_decode: int = MAX_DECODE):
         """Whole-song melody in ONE device program: lax.scan over sentences
         with on-device previous-sentence conditioning (the EOS-cut /
@@ -208,7 +208,7 @@ class MelodyGenerator:
         _, notes_all = jax.lax.scan(
             sentence_step, jnp.zeros((SRC_LEN,), jnp.int32),
             (src_all, lens_all, ks))
-        durations_all = self._duration_impl(self.duration_params, src_all,
+        durations_all = self._duration_impl(duration_params, src_all,
                                             noise_key)
         return notes_all, durations_all
 
@@ -226,8 +226,8 @@ class MelodyGenerator:
         max_decode = _decode_bucket(int(max(len(s) for s in sentences)) + 2)
         self._noise_key, sub = jax.random.split(self._noise_key)
         notes_ids, dur_raw = self._jit_song(
-            self.note_params, jnp.asarray(src_all), jnp.asarray(lens), sub,
-            max_decode=max_decode)
+            self.note_params, self.duration_params, jnp.asarray(src_all),
+            jnp.asarray(lens), sub, max_decode=max_decode)
         notes_ids = np.asarray(notes_ids)
         dur_raw = np.asarray(dur_raw)
 

@@ -258,7 +258,7 @@ class SongSynthesizer:
 
 
 def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
-                                   seed: int = 0) -> SongSynthesizer:
+                                   seed: int = 0, fused: bool = False):
     """Random-initialized full pipeline (weights are trained separately; the
     reference snapshot ships no usable checkpoints — see
     /root/reference/.MISSING_LARGE_BLOBS)."""
@@ -283,4 +283,7 @@ def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
     melody = MelodyGenerator(lyric_dict, note_dictionary(), cfg=mcfg,
                              duration_variant="mse", seed=seed)
     synths = {i: SVSSynthesizer(scfg, seed=seed + i) for i in range(n_speakers)}
+    if fused:
+        from .fused import FusedSongSynthesizer
+        return FusedSongSynthesizer(melody, synths)
     return SongSynthesizer(melody, synths)
