@@ -56,3 +56,14 @@ def write_wav(path: str, wav: np.ndarray, sample_rate: int = SAMPLE_RATE) -> Non
 
 def read_wav(path: str) -> tuple[int, np.ndarray]:
     return wavfile.read(path)
+
+
+def resample(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resampling (librosa-wrapper Audio class replacement,
+    utils/audio.py:14-41) — e.g. 44.1 kHz DiffRhythm output -> 22.05 kHz."""
+    if sr_in == sr_out:
+        return np.asarray(wav)
+    from math import gcd
+    from scipy.signal import resample_poly
+    g = gcd(sr_in, sr_out)
+    return resample_poly(np.asarray(wav, np.float64), sr_out // g, sr_in // g)
