@@ -90,14 +90,15 @@ class Seq2SeqEncoder(nn.Module):
                                keep_order=True)
                         for i in range(c.num_layers)]
 
-    def __call__(self, ids):
-        """ids: [B, T] -> (outputs [B, T, H*dirs], final hidden [B, H*dirs])."""
+    def __call__(self, ids, lengths=None):
+        """ids: [B, T] -> (outputs [B, T, H*dirs], final hidden [B, H*dirs]).
+        `lengths` masks right-padding (carries stop at the true length)."""
         x = self.embed(ids)
         carries = []
         for i in range(self.cfg.num_layers):
-            cf, xf = self.fwd[i](x)
+            cf, xf = self.fwd[i](x, seq_lengths=lengths)
             if self.cfg.bidirectional:
-                cb, xb = self.bwd[i](x)
+                cb, xb = self.bwd[i](x, seq_lengths=lengths)
                 x = jnp.concatenate([xf, xb], axis=-1)
                 h_f = cf[0] if self.cfg.use_lstm else cf
                 h_b = cb[0] if self.cfg.use_lstm else cb
@@ -123,16 +124,19 @@ class Seq2SeqDecoder(nn.Module):
         self.linear1 = nn.Dense(h)
         self.linear2 = nn.Dense(c.de_vocab)
 
-    def step(self, token, encoder_output, state):
-        """token [B]; state: list of carries [B, H]. Returns (logprobs, state)."""
+    def step(self, token, encoder_output, state, enc_mask=None):
+        """token [B]; state: list of carries [B, H]. Returns (logprobs, state).
+        enc_mask: [B, S] 1/0 over encoder positions (right-padding masked)."""
         x = self.embed(token)
         new_state = []
         for cell, carry in zip(self.cells, state):
             carry, x = cell(carry, x)
             new_state.append(carry)
         rnn_out = x[:, None, :]                              # [B, 1, H]
-        attn = jax.nn.softmax(
-            jnp.einsum("bth,bsh->bts", rnn_out, encoder_output), axis=-1)
+        scores = jnp.einsum("bth,bsh->bts", rnn_out, encoder_output)
+        if enc_mask is not None:
+            scores = jnp.where(enc_mask[:, None, :] > 0, scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bts,bsh->bth", attn, encoder_output)
         combine = jnp.tanh(self.linear1(
             jnp.concatenate([rnn_out, ctx], axis=-1)))[:, 0]
@@ -154,11 +158,11 @@ class Seq2SeqModel(nn.Module):
         self.encoder = Seq2SeqEncoder(self.cfg, name="encoder")
         self.decoder = Seq2SeqDecoder(self.cfg, name="decoder")
 
-    def encode(self, ids):
-        return self.encoder(ids)
+    def encode(self, ids, lengths=None):
+        return self.encoder(ids, lengths)
 
-    def decode_step(self, token, encoder_output, state):
-        return self.decoder.step(token, encoder_output, state)
+    def decode_step(self, token, encoder_output, state, enc_mask=None):
+        return self.decoder.step(token, encoder_output, state, enc_mask)
 
     def init_decoder_state(self, encoder_hidden):
         return self.decoder.init_state(encoder_hidden)
@@ -176,10 +180,15 @@ class Seq2SeqModel(nn.Module):
 
 def beam_decode(model: Seq2SeqModel, params, src_ids: jnp.ndarray,
                 max_len: int, beam: int = 5):
-    """Beam search carrying RNN state per beam. src_ids: [1, T].
-    Returns (seq [max_len], score)."""
-    enc_out, enc_hidden = model.apply(params, src_ids, method=Seq2SeqModel.encode)
+    """Beam search carrying RNN state per beam. src_ids: [1, T] (0 = PAD,
+    right-padding masked via lengths). Returns (seq [max_len], score)."""
+    lengths = jnp.maximum((src_ids != PAD_ID).sum(axis=1), 1)
+    enc_out, enc_hidden = model.apply(params, src_ids, lengths,
+                                      method=Seq2SeqModel.encode)
+    enc_mask = (jnp.arange(src_ids.shape[1])[None, :]
+                < lengths[:, None]).astype(jnp.int32)
     enc_out = jnp.repeat(enc_out, beam, axis=0)
+    enc_mask = jnp.repeat(enc_mask, beam, axis=0)
     state0 = model.apply(params, jnp.repeat(enc_hidden, beam, axis=0),
                          method=Seq2SeqModel.init_decoder_state)
 
@@ -190,7 +199,7 @@ def beam_decode(model: Seq2SeqModel, params, src_ids: jnp.ndarray,
     def step_fn(carry, step):
         seqs, scores, finished, state = carry
         logprobs, new_state = model.apply(
-            params, seqs[:, step], enc_out, state,
+            params, seqs[:, step], enc_out, state, enc_mask,
             method=Seq2SeqModel.decode_step)
         vocab = logprobs.shape[-1]
         frozen = jnp.full((vocab,), NEG_INF).at[PAD_ID].set(0.0)

@@ -51,13 +51,34 @@ class Seq2SeqMelodyGenerator:
                                     seed + 1)
         self.note2duration = build(note_lang.n_items, duration_lang.n_items,
                                    seed + 2)
+        self._jit_decode = {}  # model id -> jitted beam decode
+
+    @staticmethod
+    def _len_bucket(n: int) -> int:
+        for b in (8, 16, 32, 64):
+            if n <= b:
+                return b
+        return 64
 
     def _decode(self, model_params, src_lang: Lang, tgt_lang: Lang,
                 tokens: list[str], max_len: int) -> list[str]:
         model, params = model_params
+        key = id(model)
+        if key not in self._jit_decode:
+            import functools
+
+            def f(params, src, max_len: int, beam: int):
+                return beam_decode(model, params, src, max_len, beam)
+
+            self._jit_decode[key] = jax.jit(
+                f, static_argnames=("max_len", "beam"))
         ids = src_lang.encode(tokens) + [EOS_ID]
+        n_pad = self._len_bucket(len(ids))
+        ids = (ids + [0] * n_pad)[:n_pad]
         src = jnp.asarray([ids], jnp.int32)
-        seq, _ = beam_decode(model, params, src, max_len=max_len)
+        seq, _ = self._jit_decode[key](params, src,
+                                       max_len=self._len_bucket(max_len),
+                                       beam=5)
         out = []
         for t in tgt_lang.decode(np.asarray(seq).tolist()):
             if t == "_EOS_":
