@@ -10,6 +10,7 @@ Parity surfaces:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -17,18 +18,58 @@ import jax.numpy as jnp
 import numpy as np
 
 from .gpt2 import GPT2, GPT2Config, greedy_generate
+from .spm import T5SentencePieceTokenizer
 from .t5 import T5, T5Config, topk_sample_generate
 from .tokenizer import EOS, SEP, STYLE_TOKENS, CharTokenizer
+from .wordpiece import WordPieceTokenizer
 
 GPT2_MAX_LENGTH = 90
-T5_MAX_LENGTH = 128  # reference passes 512 but lyric outputs are ~100 chars
+T5_MAX_LENGTH = 512  # Lyric_generator_t5/generator.py:33 max_length=512
 T5_TOP_K = 10
+
+# Vocabulary artifacts for the reference checkpoints (BERT wordpiece
+# vocab.txt for GPT-2, sentencepiece spiece.model for T5). Resolution order:
+# $MUSIC_GEN_VOCAB_DIR, ./checkpoints/vocab (tools/import_tokenizers.py),
+# the reference snapshot itself. Falls back to the self-contained
+# CharTokenizer when no artifact is found.
+_VOCAB_FILES = {"gpt2": "vocab.txt", "t5": "spiece.model"}
+_REF_PATHS = {
+    "gpt2": "Lyric_generator/checkpoint/vocab.txt",
+    "t5": "Lyric_generator_t5/checkpoint/spiece.model",
+}
+
+
+def find_vocab_artifact(family: str) -> Optional[str]:
+    candidates = []
+    env = os.environ.get("MUSIC_GEN_VOCAB_DIR")
+    if env:
+        candidates.append(os.path.join(env, _VOCAB_FILES[family]))
+    candidates.append(os.path.join("checkpoints", "vocab",
+                                   _VOCAB_FILES[family]))
+    ref = os.environ.get("MUSIC_GEN_REFERENCE_DIR", "/root/reference")
+    candidates.append(os.path.join(ref, _REF_PATHS[family]))
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def default_tokenizer(family: str = "t5", tiny: bool = False):
+    """Reference-compatible tokenizer when its vocab artifact is available
+    (vocab 21136 GPT-2 / 32128 T5); CharTokenizer otherwise or for tiny
+    builds (small vocab keeps tiny-model embeds small)."""
+    path = None if tiny else find_vocab_artifact(family)
+    if path is None:
+        return CharTokenizer()
+    if family == "gpt2":
+        return WordPieceTokenizer(path)
+    return T5SentencePieceTokenizer(path)
 
 
 class LyricGeneratorGPT2:
     def __init__(self, cfg: Optional[GPT2Config] = None, params=None,
-                 tokenizer: Optional[CharTokenizer] = None, seed: int = 0):
-        self.tokenizer = tokenizer or CharTokenizer()
+                 tokenizer=None, seed: int = 0):
+        self.tokenizer = tokenizer or default_tokenizer("gpt2")
         self.cfg = cfg or GPT2Config(vocab_size=self.tokenizer.vocab_size)
         self.model = GPT2(self.cfg)
         if params is None:
@@ -45,7 +86,7 @@ class LyricGeneratorGPT2:
         tokens = greedy_generate(self.model, self.params, jnp.asarray(buf),
                                  jnp.asarray([len(prompt)]),
                                  max_length=GPT2_MAX_LENGTH)
-        text = "".join(tok.tokens[i] for i in np.asarray(tokens[0]))
+        text = tok.decode(np.asarray(tokens[0]))
         # reference post-processing: cut at <结束>, drop the prompt segments,
         # join the remaining [SEP] segments with '，'
         text = text.split(EOS)[0]
@@ -58,8 +99,8 @@ class LyricGeneratorT5:
     LENGTH_PROMPT = "长度："
 
     def __init__(self, cfg: Optional[T5Config] = None, params=None,
-                 tokenizer: Optional[CharTokenizer] = None, seed: int = 0):
-        self.tokenizer = tokenizer or CharTokenizer()
+                 tokenizer=None, seed: int = 0):
+        self.tokenizer = tokenizer or default_tokenizer("t5")
         self.cfg = cfg or T5Config(vocab_size=self.tokenizer.vocab_size)
         self.model = T5(self.cfg)
         if params is None:
@@ -73,7 +114,10 @@ class LyricGeneratorT5:
     def generate(self, keyword: str, length: int = 15) -> str:
         tok = self.tokenizer
         prompt = f"{self.TITLE_PROMPT}{keyword} {self.LENGTH_PROMPT}{length}"
-        ids = tok.encode(prompt)
+        try:  # reference T5Tokenizer appends </s> (add_special_tokens=True)
+            ids = tok.encode(prompt, add_eos=True)
+        except TypeError:
+            ids = tok.encode(prompt)
         src = jnp.asarray([ids], jnp.int32)
         mask = jnp.ones_like(src)
         self._rng, sub = jax.random.split(self._rng)

@@ -25,7 +25,7 @@ NEG_INF = -1e9
 
 @dataclasses.dataclass(frozen=True)
 class GPT2Config:
-    vocab_size: int = 21144     # 21136 + 8 style/control specials
+    vocab_size: int = 21136     # 21128 wordpiece + 8 style/control specials
     n_layer: int = 10
     n_embd: int = 768
     n_head: int = 12

@@ -1,11 +1,13 @@
-"""Character-level tokenizer for the Chinese lyric LMs.
+"""Character-level FALLBACK tokenizer for the Chinese lyric LMs.
 
-Deviation (documented): the reference uses a BERT wordpiece vocab (GPT-2) and
-a sentencepiece model (T5) tied to pretrained checkpoints that are absent
-from the snapshot (.MISSING_LARGE_BLOBS). Chinese lyric text is effectively
-character-level under both; this framework's checkpoints use an explicit
-char vocabulary built from the G2P lexicon charset + ASCII + control tokens,
-so the stack is fully self-contained.
+The reference-compatible tokenizers live in wordpiece.py (BERT WordPiece,
+GPT-2) and spm.py (sentencepiece unigram, T5) and are preferred whenever the
+vocab artifacts are available (models/lyrics/api.py:default_tokenizer). This
+char-level tokenizer remains for (a) environments without the artifacts and
+(b) tiny test/serving builds where a 21k/32k-row embedding is wasteful:
+Chinese lyric text is effectively character-level, and the vocabulary is
+fully derivable from the in-tree G2P lexicon charset + ASCII + control
+tokens, so the stack stays self-contained.
 """
 
 from __future__ import annotations
@@ -59,8 +61,11 @@ class CharTokenizer:
     def token_id(self, token: str) -> int:
         return self._ids.get(token, self._ids[UNK])
 
-    def encode(self, text: str) -> list[int]:
-        return [self._ids.get(ch, self._ids[UNK]) for ch in text]
+    def encode(self, text: str, add_eos: bool = False) -> list[int]:
+        ids = [self._ids.get(ch, self._ids[UNK]) for ch in text]
+        if add_eos:
+            ids.append(self.eos_id)
+        return ids
 
     def decode(self, ids, skip_special: bool = False) -> str:
         toks = [self.tokens[i] for i in ids if 0 <= i < len(self.tokens)]

@@ -38,8 +38,9 @@ def main(argv=None):
     else:
         text = args.text
         if not text:
-            from ..models.lyrics import CharTokenizer, LyricGeneratorT5, T5Config
-            tok = CharTokenizer()
+            from ..models.lyrics import (LyricGeneratorT5, T5Config,
+                                         default_tokenizer)
+            tok = default_tokenizer("t5", tiny=args.tiny)
             cfg = (T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8,
                             d_ff=64, num_layers=1, num_decoder_layers=1,
                             num_heads=4) if args.tiny

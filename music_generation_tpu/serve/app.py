@@ -221,8 +221,9 @@ def main(argv=None):
     logger.info("loading models (variant=%s tiny=%s)...", spec.name, cfg.tiny)
 
     from ..pipeline import SongSynthesizer, build_default_song_synthesizer
-    from ..models.lyrics import (CharTokenizer, GPT2Config, LyricGeneratorGPT2,
-                                 LyricGeneratorT5, T5Config)
+    from ..models.lyrics import (GPT2Config, LyricGeneratorGPT2,
+                                 LyricGeneratorT5, T5Config,
+                                 default_tokenizer)
 
     songs = build_default_song_synthesizer(tiny=cfg.tiny,
                                            n_speakers=cfg.n_speakers)
@@ -233,7 +234,7 @@ def main(argv=None):
         from ..compat import load_pipeline
         load_pipeline(cfg.checkpoint_dir, songs)
         logger.info("loaded checkpoints from %s", cfg.checkpoint_dir)
-    tok = CharTokenizer()
+    tok = default_tokenizer(args.lyric_model, tiny=cfg.tiny)
     if args.lyric_model == "gpt2":
         gcfg = (GPT2Config(vocab_size=tok.vocab_size, n_layer=1, n_embd=32,
                            n_head=2, n_positions=128) if cfg.tiny
