@@ -1,0 +1,108 @@
+"""Per-frame F0 extraction (YIN) for SVS training targets.
+
+The reference trains VISinger on ground-truth per-frame F0
+(``f0_score``/``log_f0`` consumed by models.py:557-620 via
+utils/pitch_utils.py:22 f0_to_coarse); its preprocessing relied on external
+librosa/parselmouth-class tooling that is absent here by design. This is a
+self-contained vectorized YIN (de Cheveigné & Kawahara 2002): FFT-based
+difference function, cumulative-mean normalization, absolute threshold with
+local-minimum refinement and parabolic interpolation.
+
+Host-side numpy: F0 extraction is an offline preprocessing step
+(train/dataset.py preprocess_transcriptions), not part of the jitted
+training program. Frames align with the STFT used for the linear
+spectrogram (centered, hop = SVSConfig.hop_length).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def yin_f0(wav: np.ndarray, sample_rate: int = 22050, hop: int = 256,
+           frame_length: int = 2048, fmin: float = 60.0, fmax: float = 1000.0,
+           threshold: float = 0.15) -> np.ndarray:
+    """F0 in Hz per frame; 0.0 where unvoiced. Output length =
+    1 + len(wav)//hop (matches a centered STFT's frame count)."""
+    wav = np.asarray(wav, np.float64).reshape(-1)
+    n_frames = 1 + len(wav) // hop
+    pad = frame_length // 2
+    x = np.pad(wav, (pad, pad + frame_length))
+    # frames: [n_frames, frame_length], frame i centered at i*hop
+    idx = (np.arange(n_frames)[:, None] * hop
+           + np.arange(frame_length)[None, :])
+    frames = x[idx]
+
+    w = frame_length // 2           # correlation window
+    tau_min = max(int(sample_rate / fmax), 1)
+    tau_max = min(int(np.ceil(sample_rate / fmin)), w - 1)
+
+    # difference function d(tau) = e0 + e(tau) - 2*r(tau) over window w
+    fft_size = 2 * frame_length
+    spec = np.fft.rfft(frames, fft_size, axis=1)
+    # r(tau) = sum_{j<w} x[j] x[j+tau]: correlate frame with its first w
+    # samples
+    head = np.zeros_like(frames)
+    head[:, :w] = frames[:, :w]
+    r = np.fft.irfft(np.fft.rfft(head, fft_size, axis=1).conj() * spec,
+                     axis=1)[:, : w]
+    sq = frames ** 2
+    cums = np.concatenate([np.zeros((n_frames, 1)), np.cumsum(sq, axis=1)],
+                          axis=1)
+    e0 = cums[:, w] - cums[:, 0]                    # energy of x[0:w]
+    taus = np.arange(w)
+    e_tau = cums[:, taus + w] - cums[:, taus]       # energy of x[tau:tau+w]
+    d = e0[:, None] + e_tau - 2.0 * r               # [n_frames, w]
+    d = np.maximum(d, 0.0)
+
+    # cumulative mean normalized difference
+    csum = np.cumsum(d[:, 1:], axis=1)
+    cmndf = np.ones_like(d)
+    cmndf[:, 1:] = d[:, 1:] * np.arange(1, w) / np.maximum(csum, 1e-12)
+
+    # absolute threshold: first tau in [tau_min, tau_max] under threshold
+    band = cmndf[:, tau_min:tau_max]
+    under = band < threshold
+    first = np.where(under.any(axis=1), under.argmax(axis=1),
+                     band.argmin(axis=1)) + tau_min
+    voiced = under.any(axis=1)
+    # descend to the local minimum following the threshold crossing
+    for _ in range(8):  # bounded walk keeps this vectorized
+        nxt = np.minimum(first + 1, tau_max - 1)
+        better = cmndf[np.arange(n_frames), nxt] < \
+            cmndf[np.arange(n_frames), first]
+        first = np.where(better, nxt, first)
+        if not better.any():
+            break
+
+    # parabolic interpolation around the chosen lag
+    t0 = np.clip(first, 1, w - 2)
+    ym = cmndf[np.arange(n_frames), t0 - 1]
+    y0 = cmndf[np.arange(n_frames), t0]
+    yp = cmndf[np.arange(n_frames), t0 + 1]
+    denom = ym + yp - 2.0 * y0
+    shift = np.where(np.abs(denom) > 1e-12,
+                     0.5 * (ym - yp) / np.where(np.abs(denom) > 1e-12,
+                                                denom, 1.0),
+                     0.0)
+    shift = np.clip(shift, -1.0, 1.0)
+    tau = t0 + shift
+
+    f0 = np.where(voiced, sample_rate / np.maximum(tau, 1e-6), 0.0)
+    f0 = np.where((f0 >= fmin) & (f0 <= fmax), f0, 0.0)
+    # silent frames are unvoiced regardless of the cmndf shape
+    rms = np.sqrt(np.maximum(e0 / w, 0.0))
+    f0 = np.where(rms > 1e-4, f0, 0.0)
+    return f0.astype(np.float32)
+
+
+def f0_targets(wav: np.ndarray, sample_rate: int = 22050, hop: int = 256,
+               **kw) -> tuple:
+    """(log_f0, f0_score) training targets: log(1+f0) and the 256-bin coarse
+    quantization the model's F0 embedding consumes
+    (frontend/pitch.f0_to_coarse; parity VISinger/utils/pitch_utils.py:22)."""
+    from ..frontend.pitch import f0_to_coarse
+    f0 = yin_f0(wav, sample_rate=sample_rate, hop=hop, **kw)
+    log_f0 = np.log1p(f0).astype(np.float32)
+    f0_score = f0_to_coarse(f0).astype(np.int32)
+    return log_f0, f0_score

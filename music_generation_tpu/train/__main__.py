@@ -21,6 +21,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--ckpt-dir", default="./checkpoints")
     p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--keep-last", type=int, default=3,
+                   help="retain only the newest N checkpoints (+ best loss)")
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--resume", default=None)
     p.add_argument("--tiny", action="store_true")
@@ -69,6 +71,11 @@ def main(argv=None):
         dataset = NpyDataset(args.data_dir, svs_cfg, t_phones=t_phones,
                              t_frames=t_frames)
         print(f"dataset: {len(dataset)} utterances from {args.data_dir}")
+        # the reference decays LR once per EPOCH (ExponentialLR +
+        # configs/ours.json lr_decay); derive epoch length from the dataset
+        import dataclasses as _dc
+        tcfg = _dc.replace(tcfg, steps_per_epoch=max(
+            1, len(dataset) // args.batch_size))
 
     def next_batch(step):
         if dataset is not None:
@@ -110,9 +117,11 @@ def main(argv=None):
                 metrics_writer.write(step, metrics)
             if args.ckpt_every and step and step % args.ckpt_every == 0:
                 save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state,
-                                disc_state, step)
+                                disc_state, step, keep_last=args.keep_last,
+                                metric=float(metrics["loss_mel"]))
         save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state, disc_state,
-                        args.steps)
+                        args.steps, keep_last=args.keep_last,
+                        metric=float(metrics["loss_mel"]))
         total = time.time() - t0
         print(f"done: {args.steps} steps in {total:.1f}s "
               f"({args.steps * args.batch_size / total:.2f} samples/s)")

@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import os
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -55,8 +56,17 @@ def quantize_phone_durations(durations: list[float],
     return out
 
 
-def preprocess_transcriptions(path: str, out_dir: str) -> int:
-    """Offline id-ification of a transcription file -> npy files."""
+def preprocess_transcriptions(path: str, out_dir: str,
+                              wav_dir: Optional[str] = None,
+                              sample_rate: int = 22050,
+                              hop: int = 256) -> int:
+    """Offline id-ification of a transcription file -> npy files.
+
+    When ``wav_dir`` holds a ``<name>.wav`` per utterance, also ingests the
+    audio: writes ``-wav.npy`` (float32 mono at ``sample_rate``) plus the
+    per-frame F0 training targets ``-log-f0.npy`` / ``-f0-score.npy``
+    extracted with the in-tree YIN tracker (audio/f0.py; parity target:
+    the f0_score/log_f0 inputs of VISinger/models.py:557-620)."""
     os.makedirs(out_dir, exist_ok=True)
     pv, sv = phone_vocab(), shengdiao_vocab()
     n = 0
@@ -68,6 +78,10 @@ def preprocess_transcriptions(path: str, out_dir: str) -> int:
             name, _text, phones, notes, note_durs, phone_durs = \
                 line.split("|")[:6]
             base = os.path.join(out_dir, name)
+            if wav_dir is not None:
+                wav_path = os.path.join(wav_dir, f"{name}.wav")
+                if os.path.exists(wav_path):
+                    _ingest_wav(wav_path, base, sample_rate, hop)
             tone_phones = phones.split(" ")
             plain = " ".join(p.rstrip("12345") for p in tone_phones)
             np.save(f"{base}-phone-ids.npy",
@@ -85,6 +99,23 @@ def preprocess_transcriptions(path: str, out_dir: str) -> int:
                         [float(x) for x in phone_durs.split(" ")]), np.int32))
             n += 1
     return n
+
+
+def _ingest_wav(wav_path: str, base: str, sample_rate: int, hop: int) -> None:
+    from ..audio.f0 import f0_targets
+    from ..audio.wav import read_wav, resample
+    sr, wav = read_wav(wav_path)
+    if np.issubdtype(wav.dtype, np.integer):
+        wav = wav.astype(np.float32) / float(np.iinfo(wav.dtype).max)
+    wav = np.asarray(wav, np.float32)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=-1)
+    if sr != sample_rate:
+        wav = resample(wav, sr, sample_rate).astype(np.float32)
+    np.save(f"{base}-wav.npy", wav)
+    log_f0, f0_score = f0_targets(wav, sample_rate=sample_rate, hop=hop)
+    np.save(f"{base}-log-f0.npy", log_f0)
+    np.save(f"{base}-f0-score.npy", f0_score)
 
 
 @dataclass
@@ -109,9 +140,10 @@ class NpyDataset:
         base = os.path.join(self.data_dir, name)
         item = {f: np.load(f"{base}-{f}.npy") for f in FIELDS
                 if os.path.exists(f"{base}-{f}.npy")}
-        wav_path = f"{base}-wav.npy"
-        if os.path.exists(wav_path):
-            item["wav"] = np.load(wav_path)
+        for extra in ("wav", "log-f0", "f0-score"):
+            p = f"{base}-{extra}.npy"
+            if os.path.exists(p):
+                item[extra] = np.load(p)
         return item
 
     def batch(self, batch_size: int) -> dict:
@@ -146,8 +178,38 @@ class NpyDataset:
             if "wav" in item:
                 w = item["wav"][: self.t_frames * cfg.hop_length]
                 out["audio"][i, : len(w), 0] = w
+            # ground-truth F0 targets when ingested (audio/f0.py);
+            # synthetic-batch fallbacks (ones/zeros) otherwise
+            if "log-f0" in item:
+                lf = item["log-f0"][: self.t_frames]
+                out["log_f0"][i, : len(lf)] = lf
+            if "f0-score" in item:
+                fs = item["f0-score"][: self.t_frames]
+                out["f0_score"][i, : len(fs)] = fs
         spec = np.asarray(spectrogram(
             out["audio"][..., 0], n_fft=2 * (cfg.spec_channels - 1),
             hop=cfg.hop_length, win_length=2 * (cfg.spec_channels - 1)))
         out["spec"] = spec[:, : self.t_frames].astype(np.float32)
         return out
+
+
+def main(argv=None):
+    """Offline preprocessing CLI:
+    python -m music_generation_tpu.train.dataset transcriptions.txt out_dir \
+        [--wav-dir wavs] [--sample-rate 22050] [--hop 256]"""
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("transcriptions")
+    p.add_argument("out_dir")
+    p.add_argument("--wav-dir", default=None)
+    p.add_argument("--sample-rate", type=int, default=22050)
+    p.add_argument("--hop", type=int, default=256)
+    args = p.parse_args(argv)
+    n = preprocess_transcriptions(args.transcriptions, args.out_dir,
+                                  wav_dir=args.wav_dir,
+                                  sample_rate=args.sample_rate, hop=args.hop)
+    print(f"preprocessed {n} utterances -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

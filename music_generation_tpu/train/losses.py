@@ -17,12 +17,14 @@ LOGS_CLAMP = 7.0  # bounds exp(±2·logs) to ~1e6; keeps early GAN steps finite
 
 
 def kl_divergence(z_p, logs_q, m_p, logs_p, mask):
-    """KL(q||p) with q given by sample z_p ~ q (VITS form). Log-scales are
-    clamped so random-init steps can't overflow the loss."""
+    """KL(q||p) with q given by sample z_p ~ q (the VITS kl_loss form:
+    since z_p ~ q, E[(z_p-m_p)^2] already carries the posterior variance —
+    no explicit exp(2 logs_q) term). Log-scales are clamped so random-init
+    steps can't overflow the loss."""
     logs_p = jnp.clip(logs_p, -LOGS_CLAMP, LOGS_CLAMP)
     logs_q = jnp.clip(logs_q, -LOGS_CLAMP, LOGS_CLAMP)
     kl = logs_p - logs_q - 0.5
-    kl += 0.5 * (jnp.exp(2.0 * logs_q) + (z_p - m_p) ** 2) * jnp.exp(-2.0 * logs_p)
+    kl += 0.5 * ((z_p - m_p) ** 2) * jnp.exp(-2.0 * logs_p)
     return jnp.sum(kl * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 

@@ -32,6 +32,11 @@ class TrainConfig:
     betas: tuple = (0.8, 0.99)
     eps: float = 1e-9
     lr_decay: float = 0.999875
+    # lr_decay is the reference's per-EPOCH gamma (VISinger/configs/
+    # ours.json lr_decay + torch ExponentialLR stepped once per epoch); set
+    # steps_per_epoch from the dataset (train CLI does) so long runs don't
+    # decay ~12500x too fast.
+    steps_per_epoch: int = 1
     c_mel: float = 45.0
     c_kl: float = 1.0
     seed: int = 1234
@@ -44,8 +49,9 @@ class TrainState(train_state.TrainState):
 
 def make_optimizer(cfg: TrainConfig):
     schedule = optax.exponential_decay(
-        init_value=cfg.learning_rate, transition_steps=1,
-        decay_rate=cfg.lr_decay)
+        init_value=cfg.learning_rate,
+        transition_steps=max(cfg.steps_per_epoch, 1),
+        decay_rate=cfg.lr_decay, staircase=True)
     return optax.chain(
         optax.clip(cfg.grad_clip),
         optax.adamw(schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
@@ -157,7 +163,13 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
     return train_step
 
 
-def save_checkpoint(path: str, gen_state, disc_state, step: int):
+def save_checkpoint(path: str, gen_state, disc_state, step: int,
+                    keep_last: Optional[int] = None,
+                    metric: Optional[float] = None):
+    """Save step_<step>; optionally retain only the newest ``keep_last``
+    checkpoints plus the best-metric one (keep-N semantics of the
+    reference's LatestModelCheckpoint, VISinger/utils/pl_utils.py:284-352,
+    which keeps num_ckpt_keep sorted checkpoints and deletes the rest)."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(f"{path}/step_{step}",
@@ -169,6 +181,57 @@ def save_checkpoint(path: str, gen_state, disc_state, step: int):
                          "step": disc_state.step}},
                force=True)
     ckptr.wait_until_finished()
+    if metric is not None:
+        _update_best_pointer(path, step, metric)
+    if keep_last:
+        prune_checkpoints(path, keep_last)
+
+
+def _best_file(path: str) -> str:
+    import os
+    return os.path.join(path, "best.json")
+
+
+def _update_best_pointer(path: str, step: int, metric: float) -> None:
+    """Track the lowest-metric step in <path>/best.json (mode='min', like
+    pl_utils.LatestModelCheckpoint's best_k_models)."""
+    import json
+    import os
+    best = {"step": step, "metric": float(metric)}
+    f = _best_file(path)
+    if os.path.exists(f):
+        with open(f) as fh:
+            prev = json.load(fh)
+        if prev.get("metric", float("inf")) <= metric:
+            return
+    os.makedirs(path, exist_ok=True)
+    with open(f, "w") as fh:
+        json.dump(best, fh)
+
+
+def prune_checkpoints(path: str, keep_last: int) -> list:
+    """Delete all but the newest ``keep_last`` step_* dirs (and the best.json
+    step, if tracked). Returns the pruned step numbers."""
+    import glob
+    import json
+    import os
+    import re
+    import shutil
+    steps = []
+    for d in glob.glob(os.path.join(path, "step_*")):
+        m = re.fullmatch(r"step_(\d+)", os.path.basename(d))
+        if m:
+            steps.append(int(m.group(1)))
+    steps.sort()
+    protect = set(steps[-keep_last:]) if keep_last > 0 else set()
+    f = _best_file(path)
+    if os.path.exists(f):
+        with open(f) as fh:
+            protect.add(json.load(fh).get("step"))
+    pruned = [s for s in steps if s not in protect]
+    for s in pruned:
+        shutil.rmtree(os.path.join(path, f"step_{s}"), ignore_errors=True)
+    return pruned
 
 
 def restore_checkpoint(path: str, gen_state, disc_state):
