@@ -196,7 +196,8 @@ class PosteriorEncoder(nn.Module):
     cfg: SVSConfig
 
     @nn.compact
-    def __call__(self, spec, mask, g=None, deterministic: bool = True):
+    def __call__(self, spec, mask, g=None, deterministic: bool = True,
+                 noise=None):
         x = Conv1d(self.cfg.hidden_channels, 1, name="pre")(spec) * mask
         x = WaveNet(self.cfg.hidden_channels, 5, 1, 16,
                     gin_channels=self.cfg.gin_channels, name="enc")(
@@ -204,7 +205,8 @@ class PosteriorEncoder(nn.Module):
         stats = Conv1d(2 * self.cfg.inter_channels, 1, name="proj")(x) * mask
         m = stats[..., : self.cfg.inter_channels]
         logs = stats[..., self.cfg.inter_channels:]
-        noise = jax.random.normal(self.make_rng("noise"), m.shape)
+        if noise is None:  # injectable for cross-framework parity tests
+            noise = jax.random.normal(self.make_rng("noise"), m.shape)
         z = (m + noise * jnp.exp(logs)) * mask
         return z, m, logs, x
 
@@ -249,6 +251,13 @@ class VISinger(nn.Module):
             self.spec_decoder = SpecDecoder(c, name="spec_decoder")
             self.spec_proj = Conv1d(c.inter_channels, 1, name="spec_proj")
 
+    def _decode(self, hidden, g=None):
+        if self.cfg.decoder_bf16:
+            # vocoder convs on the MXU in bf16; output back to f32
+            return self.decoder(hidden.astype(jnp.bfloat16),
+                                g=g).astype(jnp.float32)
+        return self.decoder(hidden, g=g)
+
     def _latent_to_audio(self, z, y_mask, g=None, deterministic=True):
         if self.cfg.autoencoder:
             spec_predict = self.spec_decoder(z, y_mask,
@@ -257,11 +266,7 @@ class VISinger(nn.Module):
         else:
             spec_predict = None
             hidden = z * y_mask
-        if self.cfg.decoder_bf16:
-            # vocoder convs on the MXU in bf16; output back to f32
-            audio = self.decoder(hidden.astype(jnp.bfloat16), g=g)
-            return audio.astype(jnp.float32), spec_predict
-        return self.decoder(hidden, g=g), spec_predict
+        return self._decode(hidden, g=g), spec_predict
 
     def infer(self, phones, x_lengths, note_ids, note_durations, shengdiao,
               max_frames: int, noise_scale: float = 1.0,
@@ -299,25 +304,29 @@ class VISinger(nn.Module):
                "spec_predict": spec_predict, "frames": frames}
         return audio, mel_len, aux
 
-    def infer_fake(self, spec, y_lengths, max_len: Optional[int] = None):
+    def infer_fake(self, spec, y_lengths, max_len: Optional[int] = None,
+                   noise=None):
         """Copy-synthesis: real spectrogram -> posterior z -> waveform
-        (parity: models.py:686-693). Useful for vocoder-quality checks."""
+        (parity: models.py:686-693 == models_ae.py:664-672 — both variants
+        feed z straight into the HiFi-GAN decoder, bypassing the AE spec
+        decoder). Useful for vocoder-quality checks."""
         y_mask = feature_mask(y_lengths, spec.shape[1])
-        z, _, _, _ = self.spec_encoder(spec, y_mask)
-        audio, _ = self._latent_to_audio(z if max_len is None
-                                         else z[:, :max_len], y_mask)
-        return audio, y_mask, z
+        z, _, _, _ = self.spec_encoder(spec, y_mask, noise=noise)
+        z = z * y_mask
+        if max_len is not None:  # mask sliced with z (they must broadcast)
+            z, y_mask = z[:, :max_len], y_mask[:, :max_len]
+        return self._decode(z), y_mask, z
 
     def voice_conversion(self, spec, y_lengths, g_src=None, g_tgt=None):
         """Posterior -> flow -> inverse flow under a different speaker
         conditioning (parity: models.py:675-683; speaker embeddings are the
-        g tensors when gin_channels > 0)."""
+        g tensors when gin_channels > 0; like the reference, decodes z_hat
+        directly — no AE spec decoder on this path)."""
         y_mask = feature_mask(y_lengths, spec.shape[1])
         z, m_q, logs_q, _ = self.spec_encoder(spec, y_mask, g=g_src)
         z_p = self.spec_flow(z, y_mask, g=g_src)
         z_hat = self.spec_flow(z_p, y_mask, g=g_tgt, reverse=True)
-        audio, _ = self._latent_to_audio(z_hat, y_mask, g=g_tgt)
-        return audio, y_mask, (z, z_p, z_hat)
+        return self._decode(z_hat * y_mask, g=g_tgt), y_mask, (z, z_p, z_hat)
 
     def __call__(self, phones, x_lengths, spec, y_lengths, note_ids,
                  note_durations, f0_score, phone_durations, shengdiao,

@@ -208,9 +208,16 @@ class SongSynthesizer:
     """Full lyrics -> song (multi-speaker via per-speaker SVS params)."""
 
     def __init__(self, melody: MelodyGenerator,
-                 synthesizers: dict[int, SVSSynthesizer]):
+                 synthesizers: dict[int, SVSSynthesizer],
+                 mix_accompaniment: bool = False,
+                 accompaniment_gain: float = 0.8):
         self.melody = melody
         self.synthesizers = synthesizers  # singer_id -> SVSSynthesizer
+        # pipeline v1 mixes 0.8*FluidSynth(MIDI) + vocal
+        # (pipline_inference.py:221-232); here the melody generator exposes
+        # MIDI tracks (telemelody) and audio.render synthesizes them
+        self.mix_accompaniment = mix_accompaniment
+        self.accompaniment_gain = accompaniment_gain
 
     def synthesize_song(self, lyrics: str, singer_id: int = 0,
                         batch_svs: bool = True) -> SongResult:
@@ -224,6 +231,7 @@ class SongSynthesizer:
         # conditioning); per-sentence host loop otherwise.
         t0 = time.time()
         scores = []
+        sentence_tracks = []
         if hasattr(self.melody, "generate_song"):
             outs = self.melody.generate_song(sentences)
         else:
@@ -233,6 +241,8 @@ class SongSynthesizer:
                                            previous_notes=previous_midis or None)
                 previous_midis = out[1]
                 outs.append(out)
+                sentence_tracks.append(
+                    getattr(self.melody, "last_tracks", None))
         for out_lyric, note_tokens, durations in outs:
             note_names = [midi_to_note(int(m)) if m != "rest" else "rest"
                           for m in note_tokens]
@@ -248,6 +258,8 @@ class SongSynthesizer:
             wavs = [normalize_int16(svs.synthesize_score(s)) for s in scores]
         svs_s = time.time() - t0
         song = concat_with_delay(wavs, delay_seconds=0.2)
+        if self.mix_accompaniment and any(t for t in sentence_tracks):
+            song = self._mix_accompaniment(song, wavs, sentence_tracks)
         return SongResult(
             wav_bytes=write_wav_bytes(song),
             lyrics_sentences=sentences,
@@ -255,6 +267,28 @@ class SongSynthesizer:
             timings={"total_s": time.time() - t_start,
                      "melody_s": melody_s, "svs_s": svs_s},
         )
+
+    def _mix_accompaniment(self, song, wavs, sentence_tracks,
+                           sample_rate: int = 22050):
+        """Render each sentence's MIDI tracks at that sentence's vocal
+        offset, then mix 0.8*accompaniment + vocal (pipline_inference.py:229)."""
+        from ..audio.render import render_tracks
+        from ..audio.wav import mix
+        total = len(song) / sample_rate
+        accomp = np.zeros(len(song), np.float32)
+        offset = 0.2  # leading delay pad (concat_with_delay)
+        for wav, tracks in zip(wavs, sentence_tracks):
+            if tracks:
+                r = render_tracks(tracks, total_seconds=total - offset,
+                                  sample_rate=sample_rate, gain=1.0)
+                i0 = int(offset * sample_rate)
+                n = min(len(r), len(song) - i0)
+                accomp[i0: i0 + n] += r[:n]
+            offset += len(np.asarray(wav).ravel()) / sample_rate
+        peak = np.abs(accomp).max()
+        if peak > 0:
+            accomp = accomp / peak * 32767.0
+        return mix(accomp, song, self.accompaniment_gain)
 
 
 def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,

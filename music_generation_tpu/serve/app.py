@@ -51,12 +51,13 @@ class MusicGenerationService:
     def __init__(self, song_synthesizer, lyric_generator=None,
                  cfg: Optional[ServiceConfig] = None,
                  logger: Optional[logging.Logger] = None,
-                 shell_backend=None):
+                 shell_backend=None, canned_dir=None):
         self.songs = song_synthesizer
         self.lyrics = lyric_generator
         self.cfg = cfg or ServiceConfig()
         self.logger = logger or make_logger(self.cfg)
         self.shell_backend = shell_backend
+        self.canned_dir = canned_dir
         self._lock = threading.Lock()
 
     def handle_pipeline(self, data: dict) -> dict:
@@ -98,6 +99,13 @@ class MusicGenerationService:
             if not keyword:
                 return {"code": 201,
                         "message": "输入参数错误，必须输入非空字段text！"}
+            # canned demo songs for specific keywords (parity:
+            # controllers_music_generation_melody_v2/syn_music.py:30-54)
+            from .variants import canned_response
+            canned = canned_response(keyword, self.canned_dir)
+            if canned is not None:
+                self.logger.info("canned response for 关键词:%s", keyword)
+                return canned
             if self.lyrics is None:
                 return {"code": 201,
                         "message": "keyword 模式不可用：歌词模型未加载！"}
@@ -111,8 +119,10 @@ class MusicGenerationService:
             return {"code": 202,
                     "message": "生成失败，传入文本必须大于1个字符，小于500个字符！"}
 
-        singer_id = int(data.get("singer_id", 0) or 0)
         try:
+            # inside the handler try so a non-numeric singer_id yields the
+            # code-203 JSON the wire contract promises, not a raw 500
+            singer_id = int(data.get("singer_id", 0) or 0)
             t0 = time.time()
             with self._lock:
                 result = self.songs.synthesize_song(text, singer_id=singer_id)
@@ -227,9 +237,10 @@ def main(argv=None):
 
     songs = build_default_song_synthesizer(tiny=cfg.tiny,
                                            n_speakers=cfg.n_speakers)
-    if spec.melody != "mse":  # swap in the variant's melody family
+    if spec.melody != "mse" or spec.accompaniment:  # variant melody family
         songs = SongSynthesizer(build_melody_generator(spec, tiny=cfg.tiny),
-                                songs.synthesizers)
+                                songs.synthesizers,
+                                mix_accompaniment=spec.accompaniment)
     if cfg.checkpoint_dir:
         from ..compat import load_pipeline
         load_pipeline(cfg.checkpoint_dir, songs)
@@ -249,7 +260,8 @@ def main(argv=None):
     from ..pipeline.shell_backend import ShellPipelineBackend
     shell = ShellPipelineBackend(lyric_fn=lyric_gen.generate)
     service = MusicGenerationService(songs, lyric_gen, cfg, logger,
-                                     shell_backend=shell)
+                                     shell_backend=shell,
+                                     canned_dir=spec.canned_dir)
 
     server = make_http_server(service, cfg.host, cfg.port)
     logger.info("serving on %s:%d", cfg.host, cfg.port)

@@ -24,10 +24,15 @@ class VariantSpec:
     melody: str = "mse"               # "mse" | "sdp" | "seq2seq" | "telemelody"
     n_speakers: int = 1
     canned_dir: Optional[str] = None  # resources/ with canned demo songs
+    accompaniment: bool = False       # mix rendered MIDI under the vocal
 
 
 VARIANTS = {
     "v1": VariantSpec("v1", backend="shell"),
+    # pipeline v1's model path: TeleMelody MIDI + 0.8*render mixed under the
+    # vocal (pipline_inference.py:137-151,221-232)
+    "v1_model": VariantSpec("v1_model", melody="telemelody",
+                            accompaniment=True),
     "melody_v2": VariantSpec("melody_v2", melody="seq2seq",
                              canned_dir="./resources"),
     "svs_v5": VariantSpec("svs_v5", melody="sdp"),
@@ -110,10 +115,12 @@ class _Seq2SeqAdapter:
 class _TeleMelodyAdapter:
     def __init__(self, gen):
         self.gen = gen
+        self.last_tracks = None  # MIDI tracks of the last generate() call
 
     def generate(self, lyric, index=0, previous_notes=None):
         import re
         result, durations, pitches = self.gen.get_melody(lyric)
+        self.last_tracks = result.tracks  # melody + block-chord piano
         from ..frontend import note_to_midi
         tokens = [str(note_to_midi(p)) for p in pitches]
         # punctuation became [sep] (no note) — drop it from the sung text so

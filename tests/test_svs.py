@@ -119,3 +119,80 @@ def test_discriminators():
     assert len(outs_r) == 3  # 1 scale + 2 period
     assert len(fr[0]) == 7   # scale disc: 6 convs + post
     assert all(len(f) == 6 for f in fr[1:])  # period: 5 convs + post
+
+
+@pytest.fixture(scope="module")
+def vc_params():
+    """Params covering the posterior/flow/decoder paths (the infer-method
+    init does not trace spec_encoder)."""
+    model = VISinger(TINY)
+    spec = jnp.zeros((1, 8, TINY.spec_channels), jnp.float32)
+    y_lengths = jnp.asarray([8], jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        spec, y_lengths, method=VISinger.voice_conversion)
+    return model, params
+
+
+def test_infer_fake_copy_synthesis(vc_params):
+    """infer_fake: spectrogram -> posterior -> waveform, incl. the max_len
+    slicing path (round-1 regression: y_mask must be sliced with z)."""
+    model, params = vc_params
+    frames = 32
+    rng = np.random.RandomState(3)
+    spec = jnp.asarray(rng.uniform(0, 1, (2, frames, TINY.spec_channels)),
+                       jnp.float32)
+    y_lengths = jnp.asarray([frames, frames - 8], jnp.int32)
+    audio, y_mask, z = model.apply(
+        params, spec, y_lengths, method=VISinger.infer_fake,
+        rngs={"noise": jax.random.PRNGKey(11)})
+    assert audio.shape == (2, frames * HOP, 1)
+    assert z.shape == (2, frames, TINY.inter_channels)
+    assert np.isfinite(np.asarray(audio)).all()
+    # masked frames decode from zeroed latents
+    assert np.asarray(y_mask)[1, frames - 8:].sum() == 0
+
+    audio2, y_mask2, z2 = model.apply(
+        params, spec, y_lengths, max_len=16, method=VISinger.infer_fake,
+        rngs={"noise": jax.random.PRNGKey(11)})
+    assert audio2.shape == (2, 16 * HOP, 1)
+    assert y_mask2.shape[1] == 16 and z2.shape[1] == 16
+    # decoder convs see past the slice boundary; compare away from it
+    # (empirically the last ~5.2*HOP samples feel the boundary)
+    receptive = 6 * HOP
+    np.testing.assert_allclose(
+        np.asarray(audio2)[:, : 16 * HOP - receptive],
+        np.asarray(audio)[:, : 16 * HOP - receptive], atol=2e-5)
+
+
+def test_voice_conversion_flow_roundtrip(vc_params):
+    """voice_conversion with g_src == g_tgt must be the identity on the
+    latent (flow invertibility) and decode like infer_fake."""
+    model, params = vc_params
+    # perturb the zero-initialized coupling post-convs so the flow is NOT
+    # the identity (VITS zero-init) and invertibility is actually exercised
+    keys = jax.random.split(jax.random.PRNGKey(99),
+                            len(jax.tree_util.tree_leaves(params)))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+    frames = 32
+    rng = np.random.RandomState(4)
+    spec = jnp.asarray(rng.uniform(0, 1, (2, frames, TINY.spec_channels)),
+                       jnp.float32)
+    y_lengths = jnp.asarray([frames, frames - 8], jnp.int32)
+    audio, y_mask, (z, z_p, z_hat) = model.apply(
+        params, spec, y_lengths, method=VISinger.voice_conversion,
+        rngs={"noise": jax.random.PRNGKey(12)})
+    assert audio.shape == (2, frames * HOP, 1)
+    # z_p actually moved through the flow...
+    assert np.abs(np.asarray(z_p) - np.asarray(z)).max() > 1e-3
+    # ...and the inverse pass recovers z (flow invertibility)
+    np.testing.assert_allclose(np.asarray(z_hat), np.asarray(z), atol=1e-4)
+
+    fake_audio, _, _ = model.apply(
+        params, spec, y_lengths, method=VISinger.infer_fake,
+        rngs={"noise": jax.random.PRNGKey(12)})
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(fake_audio),
+                               atol=1e-4)

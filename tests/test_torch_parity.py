@@ -208,3 +208,45 @@ def test_waveform_parity(parity_setup):
           f"ref_len={len(ref_audio)}, mel_len={int(mel_len[0])}")
     assert len(ref_audio) == int(mel_len[0]) * HOP  # same predicted length
     assert mae <= 1e-3  # BASELINE.md north-star (expect ~1e-6 in f32)
+
+
+def test_infer_fake_parity(parity_setup):
+    """Copy-synthesis parity (models_ae.py:664-672): same spectrogram + same
+    injected posterior noise -> same waveform, incl. the max_len slice."""
+    import jax.numpy as jnp
+    from music_generation_tpu.models.svs import VISinger
+
+    ref, model, params = parity_setup
+    rng = np.random.RandomState(7)
+    frames = 48
+    spec = rng.uniform(0, 1, (1, frames, SPEC_CHANNELS)).astype(np.float32)
+    noise = rng.randn(1, frames, 32).astype(np.float32)
+    max_len = 32
+
+    real_randn_like = torch.randn_like
+
+    def fake_randn_like(x):
+        t = x.shape[2]
+        return torch.from_numpy(np.transpose(noise[:, :t, :], (0, 2, 1)).copy())
+
+    torch.randn_like = fake_randn_like
+    try:
+        with torch.no_grad():
+            o, y_mask_t, z_t = ref.infer_fake(
+                torch.from_numpy(np.transpose(spec, (0, 2, 1)).copy()),
+                torch.LongTensor([frames]), max_len=max_len)
+        ref_audio = o[0, 0].numpy()
+    finally:
+        torch.randn_like = real_randn_like
+
+    audio, y_mask, z = model.apply(
+        params, jnp.asarray(spec), jnp.asarray([frames], jnp.int32),
+        max_len=max_len, noise=jnp.asarray(noise),
+        method=VISinger.infer_fake)
+    ours = np.asarray(audio)[0, :, 0]
+    assert len(ref_audio) == max_len * HOP == len(ours)
+    mae = np.abs(ref_audio - ours).mean()
+    print(f"infer_fake MAE={mae:.3e}")
+    assert mae <= 1e-3
+    np.testing.assert_allclose(np.asarray(z)[0],
+                               z_t[0].numpy().T[:max_len], atol=1e-4)
