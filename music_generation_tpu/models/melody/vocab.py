@@ -30,6 +30,14 @@ class MelodyDictionary:
     def size(self) -> int:
         return len(self.tokens)
 
+    @property
+    def bos_id(self) -> int:
+        return self._idx[BOS_TOKEN]
+
+    @property
+    def eos_id(self) -> int:
+        return self._idx[EOS_TOKEN]
+
     def indexer(self, token) -> int:
         return self._idx.get(str(token), UNK_ID)
 

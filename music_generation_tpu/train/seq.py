@@ -1,0 +1,306 @@
+"""Training CLI for the sequence models (melody + lyric families).
+
+The reference keeps full training heads in every family but ships no
+training entry points (SURVEY.md §4); since all pretrained weights were
+stripped from the snapshot (.MISSING_LARGE_BLOBS), training is the only way
+the framework produces usable melody/lyric models. This driver trains any
+family to a falling loss with orbax save/resume:
+
+  python -m music_generation_tpu.train.seq --family melody_note \
+      [--data transcriptions.txt | --toy] [--steps N] [--ckpt-dir D] \
+      [--resume D/step_K] [--tiny]
+
+Families:
+  melody_note   lyric chars -> note tokens (label-smoothed CE;
+                transformer_melody/model.py training surface)
+  duration_mse  log-duration regression (MSE/mse_inference.py head)
+  duration_sdp  stochastic-duration-predictor flow NLL
+                (transformer_melody/Lyric2Duration)
+  gpt2          causal LM CE (Lyric_generator)
+  t5            seq2seq CE keyword->lyrics (Lyric_generator_t5)
+
+Data: --data takes the SVS transcription format
+(name|text|phones|notes|note_durs|phone_durs) for the melody families and a
+plain one-lyric-per-line file for the LM families; --toy generates a
+deterministic synthetic set (train/toydata.py scores for melody,
+patterned lyric lines for LMs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# datasets
+# --------------------------------------------------------------------------
+
+def _melody_pairs_from_transcriptions(path: str):
+    """[(text, note_names, note_durs_seconds)] from the SVS format."""
+    pairs = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split("|")
+            _name, text, _phones, notes, ndurs = parts[:5]
+            # one note per syllable: phones duplicate per initial/final, so
+            # dedup consecutive duplicates pairwise
+            note_list = notes.split(" ")[::2]
+            dur_list = [float(x) for x in ndurs.split(" ")][::2]
+            pairs.append((text, note_list, dur_list))
+    return pairs
+
+
+def _toy_melody_pairs(n: int = 64, syllables: int = 6, seed: int = 0):
+    from .toydata import _SYL_TEXT, _TOY_NOTES, _TOY_SYLLABLES
+    rng = np.random.RandomState(seed)
+    pairs = []
+    for _ in range(n):
+        syls = [str(rng.choice(_TOY_SYLLABLES)) for _ in range(syllables)]
+        text = "".join(_SYL_TEXT[s] for s in syls)
+        # deterministic char->note mapping => learnable
+        notes = [_TOY_NOTES[hash(ch) % len(_TOY_NOTES)] for ch in text]
+        durs = [0.25 + 0.05 * (hash(ch) % 5) for ch in text]
+        pairs.append((text, notes, durs))
+    return pairs
+
+
+def _toy_lyric_lines(n: int = 128, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    base = ["小小的天有大大的梦想", "月亮代表我的心", "宁静的夏天天空中繁星点点",
+            "风吹过麦浪我们一起歌唱"]
+    return [base[rng.randint(len(base))] for _ in range(n)]
+
+
+class _MelodyBatcher:
+    """Fixed-shape (src, tgt_in, tgt_out, durations) batches."""
+
+    def __init__(self, pairs, lyric_dict, note_dict, t_len: int = 32,
+                 seed: int = 0):
+        self.pairs = pairs
+        self.ld, self.nd = lyric_dict, note_dict
+        self.t = t_len
+        self.rng = np.random.RandomState(seed)
+
+    def batch(self, bs: int):
+        t = self.t
+        src = np.zeros((bs, t), np.int32)
+        tgt_in = np.zeros((bs, t + 1), np.int32)
+        tgt_out = np.zeros((bs, t + 1), np.int32)
+        dur = np.zeros((bs, t), np.float32)
+        picks = self.rng.choice(len(self.pairs), bs)
+        from ..frontend import note_to_midi
+        for i, p in enumerate(picks):
+            text, notes, durs = self.pairs[p]
+            ids = self.ld.encode(list(text))[:t]
+            nids = self.nd.encode(
+                [str(note_to_midi(n)) if n != "rest" else n
+                 for n in notes])[:t]
+            src[i, : len(ids)] = ids
+            tgt_in[i, 0] = self.nd.bos_id
+            tgt_in[i, 1: len(nids) + 1] = nids
+            tgt_out[i, : len(nids)] = nids
+            tgt_out[i, len(nids)] = self.nd.eos_id
+            cs = np.round(np.asarray(durs[:t]) * 100.0)
+            dur[i, : len(cs)] = cs
+        return {"src": src, "tgt_in": tgt_in, "tgt_out": tgt_out,
+                "durations_cs": dur}
+
+
+class _LyricBatcher:
+    def __init__(self, lines, tokenizer, t_len: int = 48, seed: int = 0,
+                 keywords=None):
+        self.lines, self.tok, self.t = lines, tokenizer, t_len
+        self.keywords = keywords
+        self.rng = np.random.RandomState(seed)
+
+    def batch(self, bs: int):
+        ids = np.zeros((bs, self.t), np.int32)
+        src = np.zeros((bs, 16), np.int32)
+        picks = self.rng.choice(len(self.lines), bs)
+        for i, p in enumerate(picks):
+            enc = self.tok.encode(self.lines[p])[: self.t]
+            ids[i, : len(enc)] = enc
+            kw = (self.keywords[p] if self.keywords
+                  else self.lines[p][:2])
+            kenc = self.tok.encode(f"关键词：{kw}")[:16]
+            src[i, : len(kenc)] = kenc
+        return {"ids": ids, "src": src, "tgt": ids}
+
+
+# --------------------------------------------------------------------------
+# family wiring
+# --------------------------------------------------------------------------
+
+def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
+    """(model, params, loss_fn, batcher) for a family."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..frontend import load_lexicon
+    from ..models.melody import (MelodyConfig, lyric_dictionary_from_chars,
+                                 note_dictionary)
+    from ..models.melody.transformer import (MSEDurationModel,
+                                             MelodyTransformer,
+                                             SDPDurationConfig,
+                                             SDPDurationModel, causal_mask)
+    from . import seq_losses
+
+    key = jax.random.PRNGKey(seed)
+    if family in ("melody_note", "duration_mse", "duration_sdp"):
+        chars = sorted(load_lexicon().monosyllable.keys())
+        ld, nd = lyric_dictionary_from_chars(chars), note_dictionary()
+        pairs = (_melody_pairs_from_transcriptions(data) if data
+                 else _toy_melody_pairs(seed=seed))
+        batcher = _MelodyBatcher(pairs, ld, nd, seed=seed)
+        if family == "melody_note":
+            cfg = (MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size,
+                                n_layers=1, d_model=32, d_ff=64, n_heads=2)
+                   if tiny else
+                   MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size))
+            model = MelodyTransformer(cfg)
+            b = batcher.batch(2)
+            params = model.init(
+                key, jnp.asarray(b["src"]), jnp.asarray(b["tgt_in"]),
+                (jnp.asarray(b["src"]) != 0)[:, None, None, :].astype(
+                    jnp.int32), causal_mask(b["tgt_in"].shape[1]))
+            return model, params, seq_losses.melody_note_loss, batcher
+        if family == "duration_mse":
+            cfg = (MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size,
+                                n_layers=1, d_model=32, d_ff=64, n_heads=2)
+                   if tiny else
+                   MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size))
+            model = MSEDurationModel(cfg)
+            b = batcher.batch(2)
+            params = model.init(
+                key, jnp.asarray(b["src"]),
+                (jnp.asarray(b["src"]) != 0)[:, None, None, :].astype(
+                    jnp.int32))
+            return model, params, seq_losses.duration_mse_loss, batcher
+        cfg = (SDPDurationConfig(src_vocab=ld.size, hidden_dim=16,
+                                 n_layers=1, n_heads=2, pf_dim=32)
+               if tiny else SDPDurationConfig(src_vocab=ld.size))
+        model = SDPDurationModel(cfg)
+        b = batcher.batch(2)
+        params = model.init(
+            {"params": key, "noise": jax.random.fold_in(key, 7),
+             "dropout": jax.random.fold_in(key, 8)},
+            jnp.asarray(b["src"]), jnp.asarray(b["durations_cs"], jnp.float32))
+        return model, params, seq_losses.duration_sdp_loss, batcher
+
+    from ..models.lyrics import (GPT2, GPT2Config, T5, T5Config,
+                                 default_tokenizer)
+    tok = default_tokenizer("gpt2" if family == "gpt2" else "t5", tiny=tiny)
+    if data:
+        with open(data, encoding="utf-8") as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+    else:
+        lines = _toy_lyric_lines(seed=seed)
+    batcher = _LyricBatcher(lines, tok, seed=seed)
+    if family == "gpt2":
+        cfg = (GPT2Config(vocab_size=tok.vocab_size, n_layer=1, n_embd=32,
+                          n_head=2, n_positions=128) if tiny
+               else GPT2Config(vocab_size=tok.vocab_size))
+        model = GPT2(cfg)
+        params = model.init(key, jnp.zeros((1, 8), jnp.int32))
+        return model, params, seq_losses.lm_loss, batcher
+    cfg = (T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64,
+                    num_layers=1, num_decoder_layers=1, num_heads=4)
+           if tiny else T5Config(vocab_size=tok.vocab_size))
+    model = T5(cfg)
+    params = model.init(key, jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32))
+    return model, params, seq_losses.t5_loss, batcher
+
+
+def train_family(family: str, steps: int = 100, batch_size: int = 16,
+                 lr: float = 3e-4, tiny: bool = False, data=None,
+                 ckpt_dir=None, resume=None, log_every: int = 10,
+                 seed: int = 0, metrics_writer=None):
+    """Train one family; returns the list of logged losses."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .seq_losses import make_seq_train_step
+
+    model, params, loss_fn, batcher = build_family(family, tiny, data, seed)
+    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(lr))
+    opt_state = opt.init(params)
+    start_step = 0
+    if resume:
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(resume),
+            {"params": params, "opt_state": opt_state, "step": 0})
+        params, opt_state = restored["params"], restored["opt_state"]
+        start_step = int(restored["step"])
+        print(f"resumed {family} from {resume} at step {start_step}")
+
+    step_fn = jax.jit(make_seq_train_step(loss_fn, model, opt))
+    rng = jax.random.PRNGKey(seed + 1)
+    losses = []
+    t0 = time.time()
+    for step in range(start_step, start_step + steps):
+        rng, sub = jax.random.split(rng)
+        batch = {k: jnp.asarray(v) for k, v in
+                 batcher.batch(batch_size).items()}
+        params, opt_state, loss = step_fn(params, opt_state, batch, sub)
+        losses.append(float(loss))
+        if step % log_every == 0 or step == start_step + steps - 1:
+            print(f"[{family}] step {step} loss {float(loss):.4f} "
+                  f"({time.time() - t0:.1f}s)")
+            if metrics_writer is not None:
+                metrics_writer.write(step, {"loss": loss})
+    if ckpt_dir:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        path = os.path.join(os.path.abspath(ckpt_dir), family,
+                            f"step_{start_step + steps}")
+        ckptr.save(path, {"params": params, "opt_state": opt_state,
+                          "step": start_step + steps}, force=True)
+        ckptr.wait_until_finished()
+        print(f"saved {path}")
+    return losses
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", required=True,
+                   choices=["melody_note", "duration_mse", "duration_sdp",
+                            "gpt2", "t5", "all"])
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--data", default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    families = (["melody_note", "duration_mse", "duration_sdp", "gpt2", "t5"]
+                if args.family == "all" else [args.family])
+    writer = None
+    if args.ckpt_dir:
+        from .metrics import MetricsWriter
+        writer = MetricsWriter(os.path.join(args.ckpt_dir, "logs"))
+    for fam in families:
+        losses = train_family(
+            fam, steps=args.steps, batch_size=args.batch_size, lr=args.lr,
+            tiny=args.tiny, data=args.data, ckpt_dir=args.ckpt_dir,
+            resume=args.resume, log_every=args.log_every, seed=args.seed,
+            metrics_writer=writer)
+        print(f"[{fam}] first {losses[0]:.4f} -> last {losses[-1]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

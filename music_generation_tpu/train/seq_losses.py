@@ -48,11 +48,30 @@ def duration_mse_loss(model, params, batch, dropout_rng):
     return jnp.sum(((out - target) ** 2) * mask) / jnp.maximum(mask.sum(), 1.0)
 
 
+def duration_sdp_loss(model, params, batch, dropout_rng):
+    """Flow NLL of ground-truth durations under the stochastic duration
+    predictor (the SDP family, transformer_melody/Lyric2Duration)."""
+    nll = model.apply(params, batch["src"],
+                      batch["durations_cs"].astype(jnp.float32),
+                      rngs={"dropout": dropout_rng,
+                            "noise": jax.random.fold_in(dropout_rng, 1)})
+    return jnp.sum(nll)
+
+
 def lm_loss(model, params, batch, dropout_rng=None):
     """Causal LM loss for GPT-2: predict ids[t+1] from ids[<=t]."""
     ids = batch["ids"]
     logits = model.apply(params, ids[:, :-1])
     return cross_entropy(logits, ids[:, 1:], pad_id=batch.get("pad_id", 0))
+
+
+def t5_loss(model, params, batch, dropout_rng=None):
+    """Seq2seq CE for the T5 lyric generator: (src, src_mask, tgt)."""
+    src, tgt = batch["src"], batch["tgt"]
+    src_mask = (src != 0).astype(jnp.int32)
+    tgt_in = jnp.pad(tgt[:, :-1], ((0, 0), (1, 0)))  # shift right, BOS=pad=0
+    logits = model.apply(params, src, src_mask, tgt_in)
+    return cross_entropy(logits, tgt, pad_id=0)
 
 
 def make_seq_train_step(loss_fn, model, optimizer):

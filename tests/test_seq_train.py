@@ -1,0 +1,40 @@
+"""Sequence-family training CLIs (melody note/duration + lyric LMs).
+
+Covers VERDICT round-1 gap #5: every family trains to a falling loss via
+python -m music_generation_tpu.train.seq, with orbax save/resume.
+"""
+
+import numpy as np
+import pytest
+
+from music_generation_tpu.train.seq import (_melody_pairs_from_transcriptions,
+                                            train_family)
+
+FAMILIES = ["melody_note", "duration_mse", "duration_sdp", "gpt2", "t5"]
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_family_trains_to_falling_loss(family):
+    losses = train_family(family, steps=14, batch_size=8, tiny=True,
+                          log_every=100)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.97, (losses[0], losses[-1])
+
+
+def test_save_and_resume(tmp_path):
+    train_family("duration_mse", steps=4, batch_size=4, tiny=True,
+                 ckpt_dir=str(tmp_path), log_every=100)
+    ck = tmp_path / "duration_mse" / "step_4"
+    assert ck.exists()
+    losses = train_family("duration_mse", steps=3, batch_size=4, tiny=True,
+                          resume=str(ck), log_every=100)
+    assert len(losses) == 3 and np.isfinite(losses).all()
+
+
+def test_melody_pairs_from_transcriptions(tmp_path):
+    f = tmp_path / "t.txt"
+    f.write_text(
+        "utt001|你好|n i3 h ao3|C4 C4 D4 D4|0.3 0.3 0.4 0.4|"
+        "0.1 0.2 0.15 0.25\n", encoding="utf-8")
+    pairs = _melody_pairs_from_transcriptions(str(f))
+    assert pairs == [("你好", ["C4", "D4"], [0.3, 0.4])]
