@@ -55,10 +55,10 @@ class Seq2SeqMelodyGenerator:
 
     @staticmethod
     def _len_bucket(n: int) -> int:
-        for b in (8, 16, 32, 64):
+        for b in (8, 16, 32, 64, 128):
             if n <= b:
                 return b
-        return 64
+        return 128
 
     def _decode(self, model_params, src_lang: Lang, tgt_lang: Lang,
                 tokens: list[str], max_len: int) -> list[str]:
@@ -72,9 +72,11 @@ class Seq2SeqMelodyGenerator:
 
             self._jit_decode[key] = jax.jit(
                 f, static_argnames=("max_len", "beam"))
-        ids = src_lang.encode(tokens) + [EOS_ID]
-        n_pad = self._len_bucket(len(ids))
-        ids = (ids + [0] * n_pad)[:n_pad]
+        ids = src_lang.encode(tokens)
+        n_pad = self._len_bucket(len(ids) + 1)
+        # keep EOS even when the input exceeds the largest bucket
+        ids = ids[: n_pad - 1] + [EOS_ID]
+        ids = ids + [0] * (n_pad - len(ids))
         src = jnp.asarray([ids], jnp.int32)
         seq, _ = self._jit_decode[key](params, src,
                                        max_len=self._len_bucket(max_len),

@@ -107,3 +107,12 @@ def test_score_frontend_alignment():
     assert s.note_ids[-1] == 0  # rest
     # split syllables share the note of their syllable
     assert s.note_ids[2] == s.note_ids[3] == note_to_midi("A3")
+
+
+def test_word_parse_matches_reference(goldens):
+    """jieba segmentation + '#' joins + sharp collapse
+    (text_normalizer.py:32-46 with word_parse=True)."""
+    pytest.importorskip("jieba")
+    from music_generation_tpu.frontend import normalize_text
+    for text, want in goldens["normalize_word_parse"].items():
+        assert normalize_text(text, word_parse=True) == want, text

@@ -53,6 +53,10 @@ goldens = {
     "normalize": {t: tn.normalize(t) for t in TEXTS},
     "numbers": {t: nn.normalize(t) for t in TEXTS},
     "symbols": {t: sn.normalize(nn.normalize(t.lower())) for t in TEXTS},
+    # jieba word segmentation + '#' joins + normalize_sharp collapse
+    # (text_normalizer.py:32-46 with word_parse=True)
+    "normalize_word_parse": {t: tn.normalize(t, word_parse=True)
+                             for t in TEXTS},
 }
 
 out = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
