@@ -54,7 +54,8 @@ class FusedSongSynthesizer:
 
     @functools.lru_cache(maxsize=64)
     def _compiled(self, singer_id: int, s_pad: int, t_pad: int,
-                  max_decode: int, max_frames: int):
+                  max_decode: int, max_frames: int,
+                  pinned_syllable_seconds: Optional[float] = None):
         melody = self.melody
         svs = self.synthesizers.get(singer_id, self.synthesizers[0])
         model: VISinger = svs.model
@@ -74,9 +75,14 @@ class FusedSongSynthesizer:
             # (s == L) sings 'rest' (id 0)
             midi_sy = jnp.where(in_lyric, table[notes_all], 0)
 
-            # durations per syllable (variant formatting, on device)
+            # durations per syllable (variant formatting, on device); a
+            # pinned value overrides the duration head (bench workload
+            # pinning — same convention as the staged path)
             dur_padded = jnp.pad(dur_raw, ((0, 0), (0, max_decode + 1)))
-            if melody.duration_variant == "mse":
+            if pinned_syllable_seconds is not None:
+                d = jnp.full((dur_padded.shape[0], max_decode),
+                             pinned_syllable_seconds, jnp.float32)
+            elif melody.duration_variant == "mse":
                 shifted = dur_padded[:, 1: max_decode + 1]
                 d = jnp.round(shifted) * 0.01
             else:
@@ -114,7 +120,9 @@ class FusedSongSynthesizer:
 
         return jax.jit(run)
 
-    def synthesize_song(self, lyrics: str, singer_id: int = 0) -> SongResult:
+    def synthesize_song(self, lyrics: str, singer_id: int = 0,
+                        pinned_syllable_seconds: Optional[float] = None
+                        ) -> SongResult:
         svs = self.synthesizers.get(singer_id, self.synthesizers[0])
         melody = self.melody
         sentences = split_sentences(lyrics)
@@ -142,16 +150,20 @@ class FusedSongSynthesizer:
             syl_idx[i, :t] = np.minimum(si, max_decode - 1)
             x_lengths[i] = t
 
+        # per-syllable duration cap: 2 phones x pinned (or 0.4 s default)
+        per_syl = (2 * pinned_syllable_seconds
+                   if pinned_syllable_seconds else 0.8)
         frame_bound = int(np.ceil(
-            0.8 * (max(len(s) for s in sentences) + 1) / svs.cfg.frame_seconds
-        )) + t_pad + 8
+            per_syl * (max(len(s) for s in sentences) + 1)
+            / svs.cfg.frame_seconds)) + t_pad + 8
         max_frames = min(_bucket(frame_bound, FRAME_BUCKETS), FRAME_BUCKETS[-1])
 
         # --- one device call -----------------------------------------------
         melody._noise_key, k1 = jax.random.split(melody._noise_key)
         svs._infer_key, k2 = jax.random.split(svs._infer_key)
         audio, mel_len, notes_ids = self._compiled(
-            singer_id, s_pad, t_pad, max_decode, max_frames)(
+            singer_id, s_pad, t_pad, max_decode, max_frames,
+            pinned_syllable_seconds)(
             melody.note_params, melody.duration_params, svs.params, k1, k2,
             jnp.asarray(src_all), jnp.asarray(lens), jnp.asarray(phones),
             jnp.asarray(sheng), jnp.asarray(syl_idx), jnp.asarray(x_lengths))

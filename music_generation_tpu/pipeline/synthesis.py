@@ -151,12 +151,8 @@ class SVSSynthesizer:
         n_samples = int(mel_len[0]) * self.cfg.hop_length
         return np.asarray(audio[0, :n_samples, 0], dtype=np.float64)
 
-    def synthesize_batch(self, scores: list) -> list[np.ndarray]:
-        """Batch independent sentences into ONE jitted SVS call (the melody
-        stage is sequential due to previous-sentence conditioning, but SVS is
-        not — batching it turns N launches into one MXU-friendly batch)."""
-        if not scores:
-            return []
+    def _batch_inputs(self, scores: list):
+        """(max_frames, stacked arrays) for one batched SVS call."""
         t = max(len(s.phone_ids) for s in scores)
         t_pad = _bucket(t, PHONE_BUCKETS)
         frame_bound = max(
@@ -175,20 +171,40 @@ class SVSSynthesizer:
 
         lengths = np.zeros((b_pad,), np.int32)
         lengths[:b] = [len(s.phone_ids) for s in scores]
+        args = (stack("phone_ids", np.int32),
+                jnp.asarray(np.maximum(lengths, 1)),
+                stack("note_ids", np.int32),
+                stack("note_durations", np.float32),
+                stack("shengdiao_ids", np.int32))
+        return max_frames, args
+
+    def synthesize_batch(self, scores: list) -> list[np.ndarray]:
+        """Batch independent sentences into ONE jitted SVS call (the melody
+        stage is sequential due to previous-sentence conditioning, but SVS is
+        not — batching it turns N launches into one MXU-friendly batch)."""
+        if not scores:
+            return []
+        max_frames, args = self._batch_inputs(scores)
         self._infer_key, sub = jax.random.split(self._infer_key)
         audio, mel_len = self._compiled_int16(max_frames)(
-            self.params, sub,
-            stack("phone_ids", np.int32),
-            jnp.asarray(np.maximum(lengths, 1)),
-            stack("note_ids", np.int32),
-            stack("note_durations", np.float32),
-            stack("shengdiao_ids", np.int32),
-        )
+            self.params, sub, *args)
         # unpack the int32-packed pairs back to int16 samples
-        audio = np.asarray(audio).view(np.int16).reshape(b_pad, -1)
+        b = len(scores)
+        audio = np.asarray(audio).view(np.int16).reshape(audio.shape[0], -1)
         mel_len = np.asarray(mel_len)
         return [audio[i, : int(mel_len[i]) * self.cfg.hop_length]
                 for i in range(b)]
+
+    def batch_cost_analysis(self, scores: list) -> dict:
+        """XLA cost analysis (flops etc.) of the batched SVS executable for
+        these scores — the basis of the bench's utilization metric."""
+        max_frames, args = self._batch_inputs(scores)
+        lowered = self._compiled_int16(max_frames).lower(
+            self.params, jax.random.PRNGKey(0), *args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # some backends wrap in a list
+            cost = cost[0] if cost else {}
+        return dict(cost or {})
 
     def synthesize_pipe_format(self, line: str) -> np.ndarray:
         metas = line.split("|")

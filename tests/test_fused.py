@@ -40,3 +40,22 @@ def test_fused_matches_staged_melody(pair):
     # identical durations -> identical sample counts (audio differs only by
     # the independent SVS noise draw)
     assert len(w1) == len(w2)
+
+
+def test_fused_pinned_durations(pair):
+    """Pinned syllable seconds override the duration head (the bench's
+    workload-honest fused path): audio length scales with the pin."""
+    _, fused = pair
+    r_short = fused.synthesize_song(LYRICS, pinned_syllable_seconds=0.2)
+    r_long = fused.synthesize_song(LYRICS, pinned_syllable_seconds=0.5)
+    sr, w_short = wavfile.read(io.BytesIO(r_short.wav_bytes))
+    sr, w_long = wavfile.read(io.BytesIO(r_long.wav_bytes))
+    assert len(w_long) > len(w_short) * 1.5
+
+
+def test_batch_cost_analysis(pair):
+    staged, _ = pair
+    svs = staged.synthesizers[0]
+    score = svs.frontend.align("你好世界AP", ["C4"] * 5, [0.4] * 5)
+    cost = svs.batch_cost_analysis([score] * 2)
+    assert cost.get("flops", 0) > 0

@@ -85,3 +85,30 @@ def test_multichip_dryrun_on_virtual_mesh():
         g2, d2, metrics = jax.jit(step)(gen_state, disc_state, batch,
                                         jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss_gen"]))
+
+
+def test_loss_mel_decreases_on_toy_data(tmp_path):
+    """Real convergence check (not just 'not diverging'): a short run on the
+    deterministic sine-singer dataset must drive loss_mel down. The
+    committed artifacts/train_demo_full.jsonl shows the same on the
+    full-size config (TPU, 400 steps: loss_mel 131.7 -> ~37)."""
+    from music_generation_tpu.train import make_train_step
+    from music_generation_tpu.train.dataset import NpyDataset
+    from music_generation_tpu.train.toydata import make_toy_dataset
+
+    npy = make_toy_dataset(str(tmp_path), n_utts=8, syllables=2,
+                           hop=TINY.hop_length)
+    ds = NpyDataset(npy, TINY, t_phones=8, t_frames=32)
+    tcfg = TrainConfig()
+    batch0 = {k: jnp.asarray(v) for k, v in ds.batch(4).items()}
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch0)
+    step = jax.jit(make_train_step(gen, disc, TINY, tcfg))
+    mels = []
+    for i in range(15):
+        batch = {k: jnp.asarray(v) for k, v in ds.batch(4).items()}
+        gen_state, disc_state, metrics = step(gen_state, disc_state, batch,
+                                              jax.random.PRNGKey(i))
+        mels.append(float(metrics["loss_mel"]))
+    first, last = np.mean(mels[:3]), np.mean(mels[-3:])
+    assert np.isfinite(mels).all()
+    assert last < first * 0.9, (first, last, mels)
