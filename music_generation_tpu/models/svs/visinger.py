@@ -317,6 +317,20 @@ class VISinger(nn.Module):
             z, y_mask = z[:, :max_len], y_mask[:, :max_len]
         return self._decode(z), y_mask, z
 
+    def copy_synthesis(self, spec, y_lengths, noise=None):
+        """Spectrogram -> posterior z -> the TRAINED decode path
+        (z -> spec decoder -> decoder in the AE variant) -> waveform.
+
+        Unlike infer_fake — which reproduces the reference's decoder(z)
+        bypass verbatim (models_ae.py:664-672, pre-AE code that never sees
+        the AE model's real decoder input) — this is the path the training
+        objective optimizes, so it is the meaningful reconstruction-quality
+        probe (tools/eval_copy_synthesis.py)."""
+        y_mask = feature_mask(y_lengths, spec.shape[1])
+        z, _, _, _ = self.spec_encoder(spec, y_mask, noise=noise)
+        audio, _ = self._latent_to_audio(z, y_mask)
+        return audio, y_mask, z
+
     def voice_conversion(self, spec, y_lengths, g_src=None, g_tgt=None):
         """Posterior -> flow -> inverse flow under a different speaker
         conditioning (parity: models.py:675-683; speaker embeddings are the

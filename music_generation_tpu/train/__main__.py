@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--keep-last", type=int, default=3,
                    help="retain only the newest N checkpoints (+ best loss)")
+    p.add_argument("--accumulate-grad-batches", type=int, default=1,
+                   help="apply optimizer updates every N steps (averaged "
+                        "grads; pl_utils accumulate_grad_batches parity)")
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--resume", default=None)
     p.add_argument("--tiny", action="store_true")
@@ -57,7 +60,7 @@ def main(argv=None):
         svs_cfg = SVSConfig()
         t_phones, t_frames = 64, 480
 
-    tcfg = TrainConfig()
+    tcfg = TrainConfig(accumulate_grad_batches=args.accumulate_grad_batches)
     n_dev = len(jax.devices())
     n_model = args.n_model
     n_data = max(n_dev // n_model, 1)

@@ -41,6 +41,9 @@ class TrainConfig:
     c_kl: float = 1.0
     seed: int = 1234
     grad_clip: float = 500.0
+    # parity: pl_utils accumulate_grad_batches (pl_utils.py:257-282,367) —
+    # optimizer updates apply every N steps with averaged gradients
+    accumulate_grad_batches: int = 1
 
 
 class TrainState(train_state.TrainState):
@@ -52,11 +55,14 @@ def make_optimizer(cfg: TrainConfig):
         init_value=cfg.learning_rate,
         transition_steps=max(cfg.steps_per_epoch, 1),
         decay_rate=cfg.lr_decay, staircase=True)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip(cfg.grad_clip),
         optax.adamw(schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
                     weight_decay=0.0),
     )
+    if cfg.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+    return tx
 
 
 def create_states(svs_cfg: SVSConfig, train_cfg: TrainConfig, batch_example,

@@ -112,3 +112,20 @@ def test_loss_mel_decreases_on_toy_data(tmp_path):
     first, last = np.mean(mels[:3]), np.mean(mels[-3:])
     assert np.isfinite(mels).all()
     assert last < first * 0.9, (first, last, mels)
+
+
+def test_grad_accumulation(setup):
+    """accumulate_grad_batches=2: params change only after the 2nd step
+    (pl_utils accumulate_grad_batches parity via optax.MultiSteps)."""
+    batch, _, _, _ = setup
+    tcfg = TrainConfig(accumulate_grad_batches=2)
+    from music_generation_tpu.train import make_train_step
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch)
+    step = jax.jit(make_train_step(gen, disc, TINY, tcfg))
+    leaf0 = np.asarray(jax.tree_util.tree_leaves(gen_state.params)[0])
+    s1, d1, _ = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(s1.params)[0])
+    np.testing.assert_array_equal(leaf0, leaf1)  # buffered, not applied
+    s2, d2, _ = step(s1, d1, batch, jax.random.PRNGKey(1))
+    leaf2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
+    assert np.abs(leaf2 - leaf1).max() > 0  # applied on the 2nd

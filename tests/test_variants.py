@@ -8,8 +8,9 @@ from music_generation_tpu.serve.variants import (VARIANTS, VariantSpec,
 
 
 def test_variant_table():
-    assert set(VARIANTS) == {"v1", "melody_v2", "svs_v5",
+    assert set(VARIANTS) == {"v1", "v1_model", "melody_v2", "svs_v5",
                              "svs_v5_multispeaker", "svs_v6_multispeaker"}
+    assert VARIANTS["v1_model"].accompaniment
     assert VARIANTS["v1"].backend == "shell"
     assert VARIANTS["svs_v5"].melody == "sdp"
     assert VARIANTS["svs_v6_multispeaker"].n_speakers == 3

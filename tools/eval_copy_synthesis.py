@@ -64,8 +64,10 @@ def main():
     def reconstruct(params, spec, y_lengths, noise_key):
         audio, y_mask, _ = gen.apply(
             {"params": params}, spec, y_lengths,
-            method=VISinger.infer_fake, rngs={"noise": noise_key})
+            method=VISinger.copy_synthesis, rngs={"noise": noise_key})
         return audio
+
+    y_len = np.asarray(batch["y_lengths"])
 
     def mel_l1(params):
         audio = reconstruct(params, batch["spec"], batch["y_lengths"],
@@ -76,10 +78,20 @@ def main():
             jnp.asarray(rec), cfg.sampling_rate, hop=cfg.hop_length))
         mel_ref = np.asarray(mel_spectrogram(
             jnp.asarray(ref), cfg.sampling_rate, hop=cfg.hop_length))
-        return float(np.abs(mel_rec - mel_ref).mean()), rec
+        # only the valid (unpadded) frames of each utterance count
+        total, n = 0.0, 0
+        for i in range(mel_rec.shape[0]):
+            f = min(int(y_len[i]), mel_rec.shape[1])
+            total += float(np.abs(mel_rec[i, :f] - mel_ref[i, :f]).sum())
+            n += f * mel_rec.shape[-1]
+        return total / max(n, 1), rec
 
     trained_l1, rec = mel_l1(gen_state.params)
     random_l1, _ = mel_l1(random_params)
+    delta = sum(float(np.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(gen_state.params),
+        jax.tree_util.tree_leaves(random_params)))
+    print(f"restored param L1 delta vs random init: {delta:.3e}")
     result = {"ckpt": args.ckpt, "n_utts": args.n,
               "mel_l1_trained": round(trained_l1, 4),
               "mel_l1_random_init": round(random_l1, 4),
