@@ -15,11 +15,11 @@ _SO = os.path.join(_DIR, "libmga_native.so")
 
 @functools.lru_cache(maxsize=1)
 def _load():
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True)
-        except Exception:
+    try:
+        # no-op when up to date; rebuilds when a source file is newer
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+    except Exception:
+        if not os.path.exists(_SO):
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -31,6 +31,30 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.maximum_path_c.restype = None
+    c = ctypes
+    try:
+        lib.idx_builder_open.argtypes = [c.c_char_p]
+        lib.idx_builder_open.restype = c.c_void_p
+        lib.idx_builder_add.argtypes = [c.c_void_p, c.c_char_p, c.c_int64]
+        lib.idx_builder_add.restype = c.c_int64
+        lib.idx_builder_finalize.argtypes = [c.c_void_p, c.c_char_p]
+        lib.idx_builder_finalize.restype = c.c_int
+        lib.idx_reader_open.argtypes = [c.c_char_p]
+        lib.idx_reader_open.restype = c.c_void_p
+        lib.idx_reader_len.argtypes = [c.c_void_p]
+        lib.idx_reader_len.restype = c.c_int64
+        lib.idx_reader_size.argtypes = [c.c_void_p, c.c_int64]
+        lib.idx_reader_size.restype = c.c_int64
+        lib.idx_reader_ptr.argtypes = [c.c_void_p, c.c_int64]
+        lib.idx_reader_ptr.restype = c.c_void_p
+        lib.idx_reader_gather.argtypes = [
+            c.c_void_p, c.POINTER(c.c_int64), c.c_int, c.c_char_p,
+            c.POINTER(c.c_int64)]
+        lib.idx_reader_gather.restype = None
+        lib.idx_reader_close.argtypes = [c.c_void_p]
+        lib.idx_reader_close.restype = None
+    except AttributeError:
+        pass  # stale .so without the dataset symbols; callers fall back
     return lib
 
 

@@ -32,6 +32,12 @@ def main(argv=None):
     p.add_argument("--n-model", type=int, default=1,
                    help="tensor-parallel width (mesh model axis)")
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--packed", default=None, metavar="PREFIX",
+                   help="packed indexed dataset prefix (PREFIX.data/.idx; "
+                        "see train.dataset pack_dataset)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="prefetch depth: assemble + device_put the next N "
+                        "batches on a background thread (0 = synchronous)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host DCN; each "
                         "host runs this same command)")
@@ -41,7 +47,6 @@ def main(argv=None):
     if args.multihost:
         jax.distributed.initialize()
         print(f"process {jax.process_index()}/{jax.process_count()}")
-    import jax.numpy as jnp
 
     from ..models.svs import SVSConfig
     from ..parallel import batch_sharding, make_mesh, shard_params
@@ -69,11 +74,17 @@ def main(argv=None):
     print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
 
     dataset = None
-    if args.data_dir:
+    if args.packed:
+        from .dataset import PackedDataset
+        dataset = PackedDataset(args.packed, svs_cfg, t_phones=t_phones,
+                                t_frames=t_frames)
+        print(f"dataset: {len(dataset)} utterances from {args.packed}.data")
+    elif args.data_dir:
         from .dataset import NpyDataset
         dataset = NpyDataset(args.data_dir, svs_cfg, t_phones=t_phones,
                              t_frames=t_frames)
         print(f"dataset: {len(dataset)} utterances from {args.data_dir}")
+    if dataset is not None:
         # the reference decays LR once per EPOCH (ExponentialLR +
         # configs/ours.json lr_decay); derive epoch length from the dataset
         import dataclasses as _dc
@@ -82,11 +93,10 @@ def main(argv=None):
 
     def next_batch(step):
         if dataset is not None:
-            return {k: jnp.asarray(v)
-                    for k, v in dataset.batch(args.batch_size).items()}
-        return {k: jnp.asarray(v) for k, v in synthetic_batch(
-            svs_cfg, batch=args.batch_size, t_phones=t_phones,
-            t_frames=t_frames, seed=step).items()}
+            return dataset.batch(args.batch_size)
+        return synthetic_batch(svs_cfg, batch=args.batch_size,
+                               t_phones=t_phones, t_frames=t_frames,
+                               seed=step)
 
     batch = next_batch(0)
     gen_state, disc_state, gen, disc = create_states(svs_cfg, tcfg, batch)
@@ -106,11 +116,20 @@ def main(argv=None):
         disc_state = disc_state.replace(params=shard_params(disc_state.params, mesh))
         step_fn = jax.jit(train_step, donate_argnums=(0, 1))
 
+        def transfer(b):
+            return {k: jax.device_put(v, bs) for k, v in b.items()}
+
+        if args.prefetch > 0:
+            from ..runtime import Prefetcher
+            batches = iter(Prefetcher(next_batch, args.steps,
+                                      depth=args.prefetch, transfer=transfer))
+        else:
+            batches = ((s, transfer(next_batch(s)))
+                       for s in range(args.steps))
+
         t0 = time.time()
-        for step in range(args.steps):
+        for step, batch in batches:
             rng, sub = jax.random.split(rng)
-            batch = {k: jax.device_put(v, bs)
-                     for k, v in next_batch(step).items()}
             gen_state, disc_state, metrics = step_fn(gen_state, disc_state,
                                                      batch, sub)
             if step % args.log_every == 0:

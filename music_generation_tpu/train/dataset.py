@@ -146,6 +146,9 @@ class NpyDataset:
                 item[extra] = np.load(p)
         return item
 
+    def _load_many(self, picks):
+        return [self._load(self.names[p]) for p in picks]
+
     def batch(self, batch_size: int) -> dict:
         """Fixed-shape batch dict matching train.data.BATCH_KEYS."""
         cfg = self.cfg
@@ -163,8 +166,8 @@ class NpyDataset:
             "f0_score": np.ones((batch_size, self.t_frames), np.int32),
             "log_f0": np.zeros((batch_size, self.t_frames), np.float32),
         }
-        for i, pick in enumerate(picks):
-            item = self._load(self.names[pick])
+        items = self._load_many(picks)
+        for i, item in enumerate(items):
             t = min(len(item["phone-ids"]), self.t_phones)
             out["phones"][i, :t] = item["phone-ids"][:t]
             out["x_lengths"][i] = t
@@ -193,10 +196,57 @@ class NpyDataset:
         return out
 
 
+def pack_dataset(npy_dir: str, out_path: str) -> int:
+    """Pack a preprocessed-npy directory into one indexed binary dataset
+    (``out_path.data`` + ``out_path.idx``; runtime/indexed_dataset.py —
+    the native rebuild of VISinger/utils/indexed_datasets.py)."""
+    from ..runtime import IndexedDatasetBuilder
+    src = NpyDataset.__new__(NpyDataset)
+    src.data_dir = npy_dir
+    ids = sorted(p[: -len("-phone-ids.npy")] for p in
+                 glob.glob(os.path.join(npy_dir, "*-phone-ids.npy")))
+    names = [os.path.basename(p) for p in ids]
+    builder = IndexedDatasetBuilder(out_path)
+    for name in names:
+        item = dict(src._load(name))
+        item["name"] = np.frombuffer(name.encode("utf-8"), np.uint8)
+        builder.add_item(item)
+    builder.finalize()
+    return len(names)
+
+
+@dataclass
+class PackedDataset(NpyDataset):
+    """NpyDataset over one packed indexed-dataset file instead of a
+    directory of per-field npy files; ``data_dir`` is the path prefix passed
+    to pack_dataset. Batches are bit-identical to NpyDataset's for the same
+    seed; reads are native mmap gathers (no per-field file opens)."""
+
+    def __post_init__(self):
+        from ..runtime import IndexedDataset
+        self._ds = IndexedDataset(self.data_dir)
+        self.names = [
+            bytes(self._ds[i]["name"].tobytes()).decode("utf-8")
+            for i in range(len(self._ds))]
+        self._rng = np.random.RandomState(self.seed)
+
+    def _load(self, name):
+        item = self._ds[self.names.index(name)]
+        return {k: v for k, v in item.items() if k != "name"}
+
+    def _load_many(self, picks):
+        items = self._ds.read_batch([int(p) for p in picks])
+        return [{k: v for k, v in it.items() if k != "name"}
+                for it in items]
+
+    def close(self):
+        self._ds.close()
+
+
 def main(argv=None):
     """Offline preprocessing CLI:
     python -m music_generation_tpu.train.dataset transcriptions.txt out_dir \
-        [--wav-dir wavs] [--sample-rate 22050] [--hop 256]"""
+        [--wav-dir wavs] [--sample-rate 22050] [--hop 256] [--pack prefix]"""
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("transcriptions")
@@ -204,11 +254,16 @@ def main(argv=None):
     p.add_argument("--wav-dir", default=None)
     p.add_argument("--sample-rate", type=int, default=22050)
     p.add_argument("--hop", type=int, default=256)
+    p.add_argument("--pack", default=None, metavar="PREFIX",
+                   help="also pack the npy dir into PREFIX.data/.idx")
     args = p.parse_args(argv)
     n = preprocess_transcriptions(args.transcriptions, args.out_dir,
                                   wav_dir=args.wav_dir,
                                   sample_rate=args.sample_rate, hop=args.hop)
     print(f"preprocessed {n} utterances -> {args.out_dir}")
+    if args.pack:
+        m = pack_dataset(args.out_dir, args.pack)
+        print(f"packed {m} utterances -> {args.pack}.data/.idx")
 
 
 if __name__ == "__main__":

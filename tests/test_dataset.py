@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from music_generation_tpu.models.svs import SVSConfig
-from music_generation_tpu.train.dataset import (NpyDataset,
+from music_generation_tpu.train.dataset import (NpyDataset, PackedDataset,
+                                                pack_dataset,
                                                 preprocess_transcriptions,
                                                 quantize_phone_durations)
 
@@ -53,3 +54,29 @@ def test_preprocess_and_load(tmp_path):
     assert batch["audio"].shape == (4, 32 * 16, 1)
     assert (batch["x_lengths"] == 4).all()
     assert (batch["y_lengths"] > 0).all()
+
+
+def test_packed_dataset_matches_npy(tmp_path):
+    """PackedDataset (indexed binary pack of the npy dir) must produce
+    bit-identical batches to NpyDataset for the same seed."""
+    trans = tmp_path / "transcriptions.txt"
+    trans.write_text(TRANSCRIPTION, encoding="utf-8")
+    out_dir = tmp_path / "npy"
+    preprocess_transcriptions(str(trans), str(out_dir))
+    for name in ("utt001", "utt002"):
+        np.save(out_dir / f"{name}-wav.npy",
+                np.random.RandomState(1).uniform(-0.1, 0.1, 2048)
+                .astype(np.float32))
+
+    packed = str(tmp_path / "packed")
+    assert pack_dataset(str(out_dir), packed) == 2
+
+    npy = NpyDataset(str(out_dir), TINY, t_phones=8, t_frames=32, seed=7)
+    pk = PackedDataset(packed, TINY, t_phones=8, t_frames=32, seed=7)
+    assert pk.names == npy.names
+    for _ in range(3):
+        a, b = npy.batch(4), pk.batch(4)
+        assert sorted(a) == sorted(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    pk.close()
