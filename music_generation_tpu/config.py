@@ -24,6 +24,14 @@ class ServiceConfig:
     max_text_len: int = 500
     min_text_len: int = 1
     checkpoint_dir: Optional[str] = None
+    # cross-request SVS micro-batching (serve/batching.py): concurrent
+    # requests' sentences coalesce into one device call. window_ms=0 batches
+    # naturally (arrivals during an in-flight call join the next one).
+    svs_batching: bool = True
+    batch_window_ms: float = 0.0
+    # 16 x 512-frame full-size sentences is the largest SVS batch that fits
+    # one v5e's 15.75 G HBM (b=32 needs ~22 G of HiFi-GAN activations)
+    max_batch_sentences: int = 16
 
     @classmethod
     def from_file(cls, path: str) -> "ServiceConfig":

@@ -17,6 +17,7 @@ from __future__ import annotations
 import bisect
 import functools
 import re
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -62,14 +63,22 @@ def _bucket(value: int, buckets: tuple[int, ...]) -> int:
 
 
 class SVSSynthesizer:
-    """Score -> waveform, one jitted program per shape bucket."""
+    """Score -> waveform, one jitted program per shape bucket.
+
+    ``mesh``: optional jax.sharding (data, model) Mesh for multi-chip
+    inference — parameters are tensor-parallel over `model` (last-axis rule,
+    parallel/mesh.py) and batched calls shard sentences over `data`; XLA
+    inserts the ICI collectives. Single-chip behavior is unchanged when
+    mesh is None."""
 
     def __init__(self, cfg: Optional[SVSConfig] = None,
                  params=None, seed: int = 0,
-                 frontend: Optional[ScoreFrontend] = None):
+                 frontend: Optional[ScoreFrontend] = None,
+                 mesh=None):
         self.cfg = cfg or SVSConfig()
         self.model = VISinger(self.cfg)
         self.frontend = frontend or ScoreFrontend()
+        self.mesh = mesh
         self._infer_key = jax.random.PRNGKey(seed + 17)
         if params is None:
             t = PHONE_BUCKETS[0]
@@ -84,6 +93,9 @@ class SVSSynthesizer:
                 max_frames=FRAME_BUCKETS[0],
                 method=VISinger.infer)
         self.params = params
+        if mesh is not None:
+            from ..parallel import shard_params
+            self.params = shard_params(self.params, mesh)
 
     @functools.lru_cache(maxsize=32)
     def _compiled(self, max_frames: int):
@@ -161,18 +173,29 @@ class SVSSynthesizer:
         max_frames = min(_bucket(frame_bound, FRAME_BUCKETS), FRAME_BUCKETS[-1])
         b = len(scores)
         b_pad = 1 << (b - 1).bit_length()  # batch bucket: next power of two
+        if self.mesh is not None:
+            # the data axis must divide the batch so each device gets a
+            # whole shard of sentences
+            n_data = self.mesh.shape["data"]
+            b_pad = -(-b_pad // n_data) * n_data
+
+        put = jnp.asarray
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+            bs = batch_sharding(self.mesh)
+            put = functools.partial(jax.device_put, device=bs)
 
         def stack(attr, dtype, fill=0):
             out = np.full((b_pad, t_pad), fill, dtype)
             for i, s in enumerate(scores):
                 a = getattr(s, attr)
                 out[i, : len(a)] = a
-            return jnp.asarray(out)
+            return put(out)
 
         lengths = np.zeros((b_pad,), np.int32)
         lengths[:b] = [len(s.phone_ids) for s in scores]
         args = (stack("phone_ids", np.int32),
-                jnp.asarray(np.maximum(lengths, 1)),
+                put(np.maximum(lengths, 1)),
                 stack("note_ids", np.int32),
                 stack("note_durations", np.float32),
                 stack("shengdiao_ids", np.int32))
@@ -234,9 +257,17 @@ class SongSynthesizer:
         # MIDI tracks (telemelody) and audio.render synthesizes them
         self.mix_accompaniment = mix_accompaniment
         self.accompaniment_gain = accompaniment_gain
+        # melody decode carries PRNG + prev-sentence state; serialize it so
+        # concurrent requests (serve/batching.py) stay race-free while the
+        # SVS stage batches across requests
+        self._melody_lock = threading.Lock()
 
     def synthesize_song(self, lyrics: str, singer_id: int = 0,
-                        batch_svs: bool = True) -> SongResult:
+                        batch_svs: bool = True,
+                        svs_batch_fn=None) -> SongResult:
+        """``svs_batch_fn(scores) -> wavs`` (when given) replaces the direct
+        per-request SVS call — the serving tier passes a cross-request
+        coalescer (serve/batching.SVSBatcher.fn_for)."""
         svs = self.synthesizers.get(singer_id, self.synthesizers[0])
         sentences = split_sentences(lyrics)
         all_notes, previous_midis = [], []
@@ -248,17 +279,19 @@ class SongSynthesizer:
         t0 = time.time()
         scores = []
         sentence_tracks = []
-        if hasattr(self.melody, "generate_song"):
-            outs = self.melody.generate_song(sentences)
-        else:
-            outs = []
-            for k, sentence in enumerate(sentences):
-                out = self.melody.generate(sentence, index=k,
-                                           previous_notes=previous_midis or None)
-                previous_midis = out[1]
-                outs.append(out)
-                sentence_tracks.append(
-                    getattr(self.melody, "last_tracks", None))
+        with self._melody_lock:
+            if hasattr(self.melody, "generate_song"):
+                outs = self.melody.generate_song(sentences)
+            else:
+                outs = []
+                for k, sentence in enumerate(sentences):
+                    out = self.melody.generate(
+                        sentence, index=k,
+                        previous_notes=previous_midis or None)
+                    previous_midis = out[1]
+                    outs.append(out)
+                    sentence_tracks.append(
+                        getattr(self.melody, "last_tracks", None))
         for out_lyric, note_tokens, durations in outs:
             note_names = [midi_to_note(int(m)) if m != "rest" else "rest"
                           for m in note_tokens]
@@ -266,9 +299,12 @@ class SongSynthesizer:
             scores.append(svs.frontend.align(out_lyric, note_names, durations))
         melody_s = time.time() - t0
 
-        # Phase 2 (parallel): one batched SVS call for all sentences.
+        # Phase 2 (parallel): one batched SVS call for all sentences —
+        # possibly coalesced with other requests' sentences by the server.
         t0 = time.time()
-        if batch_svs:
+        if svs_batch_fn is not None:
+            wavs = svs_batch_fn(scores)
+        elif batch_svs:
             wavs = svs.synthesize_batch(scores)  # int16, normalized on device
         else:
             wavs = [normalize_int16(svs.synthesize_score(s)) for s in scores]
@@ -308,7 +344,8 @@ class SongSynthesizer:
 
 
 def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
-                                   seed: int = 0, fused: bool = False):
+                                   seed: int = 0, fused: bool = False,
+                                   mesh=None):
     """Random-initialized full pipeline (weights are trained separately; the
     reference snapshot ships no usable checkpoints — see
     /root/reference/.MISSING_LARGE_BLOBS)."""
@@ -332,7 +369,8 @@ def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
         scfg = SVSConfig()
     melody = MelodyGenerator(lyric_dict, note_dictionary(), cfg=mcfg,
                              duration_variant="mse", seed=seed)
-    synths = {i: SVSSynthesizer(scfg, seed=seed + i) for i in range(n_speakers)}
+    synths = {i: SVSSynthesizer(scfg, seed=seed + i, mesh=mesh)
+              for i in range(n_speakers)}
     if fused:
         from .fused import FusedSongSynthesizer
         return FusedSongSynthesizer(melody, synths)

@@ -59,6 +59,20 @@ class MusicGenerationService:
         self.shell_backend = shell_backend
         self.canned_dir = canned_dir
         self._lock = threading.Lock()
+        # cross-request SVS micro-batching: concurrent requests coalesce
+        # their sentences into one device call (serve/batching.py); the
+        # melody stage is serialized inside SongSynthesizer instead of
+        # holding the request-level lock for the whole synthesis
+        self._batcher = None
+        import inspect
+        if (self.cfg.svs_batching and song_synthesizer is not None
+                and hasattr(song_synthesizer, "synthesizers")
+                and "svs_batch_fn" in inspect.signature(
+                    song_synthesizer.synthesize_song).parameters):
+            from .batching import SVSBatcher
+            self._batcher = SVSBatcher(
+                window_ms=self.cfg.batch_window_ms,
+                max_sentences=self.cfg.max_batch_sentences)
 
     def handle_pipeline(self, data: dict) -> dict:
         """Shell-pipeline path (v1 controller parity): mode heuristics ->
@@ -124,8 +138,16 @@ class MusicGenerationService:
             # code-203 JSON the wire contract promises, not a raw 500
             singer_id = int(data.get("singer_id", 0) or 0)
             t0 = time.time()
-            with self._lock:
-                result = self.songs.synthesize_song(text, singer_id=singer_id)
+            if self._batcher is not None:
+                svs = self.songs.synthesizers.get(
+                    singer_id, self.songs.synthesizers[0])
+                result = self.songs.synthesize_song(
+                    text, singer_id=singer_id,
+                    svs_batch_fn=self._batcher.fn_for(svs))
+            else:
+                with self._lock:
+                    result = self.songs.synthesize_song(text,
+                                                        singer_id=singer_id)
             b64 = base64.b64encode(result.wav_bytes).decode()
             self.logger.info("音频合成耗时：%.3f 秒。", time.time() - t0)
             return {"code": 200, "message": "success！",
@@ -149,7 +171,10 @@ def make_http_server(service: MusicGenerationService, host: str, port: int):
         def do_GET(self):
             if self.path.rstrip("/") in ("", "/healthz", "healthz") or \
                     self.path == "/healthz":
-                self._send_json({"ok": True})
+                payload = {"ok": True}
+                if service._batcher is not None:
+                    payload["batching"] = dict(service._batcher.stats)
+                self._send_json(payload)
             elif self.path.startswith("/syn_outputs/"):
                 # static output serving (parity: the v1 app exposes
                 # syn_outputs/ for the demo UI)
@@ -209,6 +234,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint-dir", default=None,
                         help="orbax pipeline checkpoints (compat.save_pipeline"
                              " / tools/import_reference_checkpoints.py)")
+    parser.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                        help="multi-chip SVS inference mesh, e.g. 4x2: "
+                             "sentences sharded over `data`, params "
+                             "tensor-parallel over `model`")
     args = parser.parse_args(argv)
 
     cfg = ServiceConfig.from_file(args.config) if args.config else ServiceConfig()
@@ -235,8 +264,17 @@ def main(argv=None):
                                  LyricGeneratorT5, T5Config,
                                  default_tokenizer)
 
+    mesh = None
+    if args.mesh:
+        import jax
+        from ..parallel import make_mesh
+        n_data, n_model = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(n_data=n_data, n_model=n_model,
+                         devices=jax.devices()[: n_data * n_model])
+        logger.info("inference mesh: %s", dict(mesh.shape))
     songs = build_default_song_synthesizer(tiny=cfg.tiny,
-                                           n_speakers=cfg.n_speakers)
+                                           n_speakers=cfg.n_speakers,
+                                           mesh=mesh)
     if spec.melody != "mse" or spec.accompaniment:  # variant melody family
         songs = SongSynthesizer(build_melody_generator(spec, tiny=cfg.tiny),
                                 songs.synthesizers,
