@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--prefetch", type=int, default=2,
                    help="prefetch depth: assemble + device_put the next N "
                         "batches on a background thread (0 = synchronous)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute with fp32 master params (parity: "
+                        "fp16_run in VISinger/configs/ours.json)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host DCN; each "
                         "host runs this same command)")
@@ -65,7 +68,8 @@ def main(argv=None):
         svs_cfg = SVSConfig()
         t_phones, t_frames = 64, 480
 
-    tcfg = TrainConfig(accumulate_grad_batches=args.accumulate_grad_batches)
+    tcfg = TrainConfig(accumulate_grad_batches=args.accumulate_grad_batches,
+                       bf16_run=args.bf16)
     n_dev = len(jax.devices())
     n_model = args.n_model
     n_data = max(n_dev // n_model, 1)

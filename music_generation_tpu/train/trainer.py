@@ -44,6 +44,10 @@ class TrainConfig:
     # parity: pl_utils accumulate_grad_batches (pl_utils.py:257-282,367) —
     # optimizer updates apply every N steps with averaged gradients
     accumulate_grad_batches: int = 1
+    # mixed precision (parity: fp16_run=true in VISinger/configs/ours.json).
+    # TPU-native: bf16 compute (no loss scaling needed), fp32 master params,
+    # losses and optimizer in fp32.
+    bf16_run: bool = False
 
 
 class TrainState(train_state.TrainState):
@@ -99,30 +103,54 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
     """Returns train_step(gen_state, disc_state, batch, rng) -> (states, metrics).
     Pure function of its inputs; jit/pjit-able over any mesh."""
 
+    def _to_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+    def _to_f32(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, tree)
+
     def gen_forward(gen_params, batch, rng):
         k_noise, k_slice, k_drop = jax.random.split(rng, 3)
-        return gen.apply({"params": gen_params},
-                         batch["phones"], batch["x_lengths"], batch["spec"],
-                         batch["y_lengths"], batch["note_ids"],
-                         batch["note_durations"], batch["f0_score"],
-                         batch["phone_durations"], batch["shengdiao"],
-                         deterministic=False,
-                         rngs={"noise": k_noise, "slice": k_slice,
-                               "dropout": k_drop})
+        if train_cfg.bf16_run:
+            # bf16 compute, fp32 masters: the cast sits inside autodiff so
+            # gradients accumulate back into fp32 leaves; losses below see
+            # fp32 outputs
+            gen_params, batch = _to_bf16(gen_params), _to_bf16(batch)
+        out = gen.apply({"params": gen_params},
+                        batch["phones"], batch["x_lengths"], batch["spec"],
+                        batch["y_lengths"], batch["note_ids"],
+                        batch["note_durations"], batch["f0_score"],
+                        batch["phone_durations"], batch["shengdiao"],
+                        deterministic=False,
+                        rngs={"noise": k_noise, "slice": k_slice,
+                              "dropout": k_drop})
+        return _to_f32(out) if train_cfg.bf16_run else out
+
+    def disc_apply(disc_params, y_real, y_fake):
+        if train_cfg.bf16_run:
+            disc_params = _to_bf16(disc_params)
+            y_real = y_real.astype(jnp.bfloat16)
+            y_fake = y_fake.astype(jnp.bfloat16)
+        out = disc.apply({"params": disc_params}, y_real, y_fake)
+        return _to_f32(out) if train_cfg.bf16_run else out
 
     def disc_loss_fn(disc_params, gen_out, batch):
         y_real = _slice_real_audio(batch["audio"], gen_out["ids_slice"],
                                    svs_cfg.segment_size, svs_cfg.hop_length)
         y_fake = jax.lax.stop_gradient(gen_out["audio"])
-        d_real, d_fake, _, _ = disc.apply({"params": disc_params}, y_real, y_fake)
+        d_real, d_fake, _, _ = disc_apply(disc_params, y_real, y_fake)
         return losses.discriminator_adv_loss(d_real, d_fake)
 
     def gen_loss_fn(gen_params, disc_params, batch, rng):
         out = gen_forward(gen_params, batch, rng)
         y_real = _slice_real_audio(batch["audio"], out["ids_slice"],
                                    svs_cfg.segment_size, svs_cfg.hop_length)
-        d_real, d_fake, fmap_r, fmap_g = disc.apply(
-            {"params": disc_params}, y_real, out["audio"])
+        d_real, d_fake, fmap_r, fmap_g = disc_apply(
+            disc_params, y_real, out["audio"])
 
         mel_real = mel_spectrogram(y_real[..., 0], svs_cfg.sampling_rate,
                                    hop=svs_cfg.hop_length)

@@ -129,3 +129,34 @@ def test_grad_accumulation(setup):
     s2, d2, _ = step(s1, d1, batch, jax.random.PRNGKey(1))
     leaf2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
     assert np.abs(leaf2 - leaf1).max() > 0  # applied on the 2nd
+
+
+def test_bf16_train_step_finite_and_close_to_f32():
+    """Mixed precision (TrainConfig.bf16_run; parity: fp16_run in
+    VISinger/configs/ours.json): bf16 compute with fp32 masters must run,
+    keep fp32 params, and produce losses in the same ballpark as fp32."""
+    import dataclasses
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(TINY, batch=2, t_phones=8,
+                                         t_frames=32).items()}
+    tcfg32 = TrainConfig()
+    tcfg16 = dataclasses.replace(tcfg32, bf16_run=True)
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg32, batch)
+    step32 = jax.jit(make_train_step(gen, disc, TINY, tcfg32))
+    step16 = jax.jit(make_train_step(gen, disc, TINY, tcfg16))
+    rng = jax.random.PRNGKey(0)
+    _, _, m32 = step32(gen_state, disc_state, batch, rng)
+    g16, d16, m16 = step16(gen_state, disc_state, batch, rng)
+    for k in m16:
+        assert np.isfinite(float(m16[k])), k
+        # same graph at lower precision: losses agree within 20%
+        denom = abs(float(m32[k])) + 1e-3
+        assert abs(float(m16[k]) - float(m32[k])) / denom < 0.2, (
+            k, float(m32[k]), float(m16[k]))
+    # master params stay fp32 and actually moved
+    leaves = jax.tree_util.tree_leaves(g16.params)
+    assert all(x.dtype == jnp.float32 for x in leaves
+               if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating))
+    l0 = jax.tree_util.tree_leaves(gen_state.params)[0]
+    l1 = leaves[0]
+    assert np.abs(np.asarray(l0 - l1)).max() > 0
