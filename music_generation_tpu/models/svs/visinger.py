@@ -75,6 +75,18 @@ class SVSConfig:
     gin_channels: int = 0
     autoencoder: bool = True          # models_ae variant (SpecDecoder path)
     decoder_bf16: bool = False        # run the HiFi-GAN stack in bfloat16
+    # vocoder decoder family (beyond-parity speed option, models/svs/istft.py
+    # after arXiv 2210.15975): "hifigan" (reference parity), "istft" (iSTFT
+    # head replaces the last upsample stages), "mb_istft" (+ PQMF subbands).
+    # istft_upsample_rates * istft_hop (* subbands) must equal hop_length.
+    decoder_type: str = "hifigan"
+    istft_n_fft: int = 16
+    istft_hop: int = 4
+    istft_upsample_rates: Sequence[int] = (8, 8)
+    istft_upsample_kernel_sizes: Sequence[int] = (16, 16)
+    mb_subbands: int = 4
+    mb_upsample_rates: Sequence[int] = (4, 4)
+    mb_upsample_kernel_sizes: Sequence[int] = (8, 8)
     sampling_rate: int = 22050
     hop_length: int = 256
     frame_seconds: float = 0.0116     # duration->frames divisor (models.py:639)
@@ -241,12 +253,35 @@ class VISinger(nn.Module):
         self.spec_flow = ResidualCouplingBlock(
             c.inter_channels, c.hidden_channels, 5, 1, 4,
             gin_channels=c.gin_channels, name="spec_flow")
-        self.decoder = Generator(
-            c.resblock, tuple(c.resblock_kernel_sizes),
-            tuple(tuple(d) for d in c.resblock_dilation_sizes),
-            tuple(c.upsample_rates), c.upsample_initial_channel,
-            tuple(c.upsample_kernel_sizes), gin_channels=c.gin_channels,
-            name="decoder")
+        dil = tuple(tuple(d) for d in c.resblock_dilation_sizes)
+        if c.decoder_type == "istft":
+            from .istft import ISTFTGenerator
+            up = int(np.prod(c.istft_upsample_rates)) * c.istft_hop
+            assert up == c.hop_length, (up, c.hop_length)
+            self.decoder = ISTFTGenerator(
+                c.resblock, tuple(c.resblock_kernel_sizes), dil,
+                tuple(c.istft_upsample_rates),
+                tuple(c.istft_upsample_kernel_sizes),
+                c.upsample_initial_channel, c.istft_n_fft, c.istft_hop,
+                gin_channels=c.gin_channels, name="decoder")
+        elif c.decoder_type == "mb_istft":
+            from .istft import MBISTFTGenerator
+            up = (int(np.prod(c.mb_upsample_rates)) * c.istft_hop
+                  * c.mb_subbands)
+            assert up == c.hop_length, (up, c.hop_length)
+            self.decoder = MBISTFTGenerator(
+                c.resblock, tuple(c.resblock_kernel_sizes), dil,
+                tuple(c.mb_upsample_rates),
+                tuple(c.mb_upsample_kernel_sizes),
+                c.upsample_initial_channel, c.istft_n_fft, c.istft_hop,
+                c.mb_subbands, gin_channels=c.gin_channels, name="decoder")
+        else:
+            assert c.decoder_type == "hifigan", c.decoder_type
+            self.decoder = Generator(
+                c.resblock, tuple(c.resblock_kernel_sizes), dil,
+                tuple(c.upsample_rates), c.upsample_initial_channel,
+                tuple(c.upsample_kernel_sizes), gin_channels=c.gin_channels,
+                name="decoder")
         if c.autoencoder:
             self.spec_decoder = SpecDecoder(c, name="spec_decoder")
             self.spec_proj = Conv1d(c.inter_channels, 1, name="spec_proj")

@@ -238,6 +238,11 @@ def main(argv=None):
                         help="multi-chip SVS inference mesh, e.g. 4x2: "
                              "sentences sharded over `data`, params "
                              "tensor-parallel over `model`")
+    parser.add_argument("--warmup", action="store_true",
+                        help="synthesize one representative song before "
+                             "accepting traffic so the common shape buckets "
+                             "are compiled (first remote compile takes "
+                             "minutes; warm requests are sub-second)")
     args = parser.parse_args(argv)
 
     cfg = ServiceConfig.from_file(args.config) if args.config else ServiceConfig()
@@ -300,6 +305,13 @@ def main(argv=None):
     service = MusicGenerationService(songs, lyric_gen, cfg, logger,
                                      shell_backend=shell,
                                      canned_dir=spec.canned_dir)
+
+    if args.warmup:
+        t0 = time.time()
+        out = service.handle_synthesis(
+            {"text": "你好世界。小小的天有大大的梦想。隐形的翅膀。带我飞过绝望"})
+        logger.info("warmup request code=%s in %.1fs",
+                    out.get("code"), time.time() - t0)
 
     server = make_http_server(service, cfg.host, cfg.port)
     logger.info("serving on %s:%d", cfg.host, cfg.port)

@@ -248,10 +248,14 @@ def train_family(family: str, steps: int = 100, batch_size: int = 16,
     rng = jax.random.PRNGKey(seed + 1)
     losses = []
     t0 = time.time()
-    for step in range(start_step, start_step + steps):
+    # overlap host batch assembly + H2D with the device step
+    from ..runtime import Prefetcher
+    feed = Prefetcher(
+        lambda _s: batcher.batch(batch_size), steps, depth=2,
+        transfer=lambda b: {k: jnp.asarray(v) for k, v in b.items()})
+    for offset, batch in feed:
+        step = start_step + offset
         rng, sub = jax.random.split(rng)
-        batch = {k: jnp.asarray(v) for k, v in
-                 batcher.batch(batch_size).items()}
         params, opt_state, loss = step_fn(params, opt_state, batch, sub)
         losses.append(float(loss))
         if step % log_every == 0 or step == start_step + steps - 1:
