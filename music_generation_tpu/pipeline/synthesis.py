@@ -349,9 +349,11 @@ def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
     """Random-initialized full pipeline (weights are trained separately; the
     reference snapshot ships no usable checkpoints — see
     /root/reference/.MISSING_LARGE_BLOBS)."""
-    # Lyric dictionary: cover the full monosyllable charset.
+    # Lyric dictionary: cover the full monosyllable charset. Sorted so the
+    # mapping matches train.seq's (checkpoints transfer between trainer and
+    # serving).
     from ..frontend import load_lexicon
-    chars = list(load_lexicon().monosyllable.keys())
+    chars = sorted(load_lexicon().monosyllable.keys())
     lyric_dict = lyric_dictionary_from_chars(chars)
     if tiny:
         mcfg = MelodyConfig(src_vocab=lyric_dict.size, tgt_vocab=37,

@@ -197,6 +197,20 @@ def make_http_server(service: MusicGenerationService, host: str, port: int):
                 self._send_json({"code": 404, "message": "not found"}, 404)
 
         def do_POST(self):
+            if self.path.startswith("/profile"):
+                # capture a jax.profiler trace of live traffic (open with
+                # TensorBoard/xprof); ?seconds=N bounds the capture window
+                from urllib.parse import parse_qs as _pq, urlparse as _up
+                q = _pq(_up(self.path).query)
+                seconds = min(float(q.get("seconds", ["2"])[0]), 60.0)
+                log_dir = q.get("dir", ["./logs/profile"])[0]
+                import jax as _jax
+                _jax.profiler.start_trace(log_dir)
+                time.sleep(seconds)
+                _jax.profiler.stop_trace()
+                self._send_json({"ok": True, "trace_dir": log_dir,
+                                 "seconds": seconds})
+                return
             if self.path != "/synthesis_music":
                 self._send_json({"code": 404, "message": "not found"}, 404)
                 return

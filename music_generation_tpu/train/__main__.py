@@ -41,6 +41,11 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute with fp32 master params (parity: "
                         "fp16_run in VISinger/configs/ours.json)")
+    p.add_argument("--decoder", default="hifigan",
+                   choices=["hifigan", "istft", "mb_istft"],
+                   help="vocoder decoder family (istft variants trade the "
+                        "highest-rate conv stages for an inverse STFT; "
+                        "models/svs/istft.py)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host DCN; each "
                         "host runs this same command)")
@@ -67,6 +72,18 @@ def main(argv=None):
     else:
         svs_cfg = SVSConfig()
         t_phones, t_frames = 64, 480
+    if args.decoder != "hifigan":
+        import dataclasses as _dc
+        if args.tiny:
+            # tiny hop=16: istft 4*4=16; mb_istft 2*4*2=16
+            extra = (dict(istft_upsample_rates=(4,),
+                          istft_upsample_kernel_sizes=(8,))
+                     if args.decoder == "istft" else
+                     dict(mb_upsample_rates=(2,),
+                          mb_upsample_kernel_sizes=(4,), mb_subbands=2))
+            svs_cfg = _dc.replace(svs_cfg, decoder_type=args.decoder, **extra)
+        else:
+            svs_cfg = _dc.replace(svs_cfg, decoder_type=args.decoder)
 
     tcfg = TrainConfig(accumulate_grad_batches=args.accumulate_grad_batches,
                        bf16_run=args.bf16)

@@ -98,7 +98,13 @@ class _MelodyBatcher:
         from ..frontend import note_to_midi
         for i, p in enumerate(picks):
             text, notes, durs = self.pairs[p]
-            ids = self.ld.encode(list(text))[:t]
+            # SERVING convention (api._encode_src / the reference's
+            # transformer_melody rpad): src = [BOS] chars [EOS]; durations
+            # align with the char positions 1..n (format_durations strips
+            # the BOS/EOS slots). Training with bare chars would shift every
+            # inference-time input one position off what the model saw.
+            ids = ([self.ld.bos_id] + self.ld.encode(list(text))
+                   + [self.ld.eos_id])[:t]
             nids = self.nd.encode(
                 [str(note_to_midi(n)) if n != "rest" else n
                  for n in notes])[:t]
@@ -107,8 +113,8 @@ class _MelodyBatcher:
             tgt_in[i, 1: len(nids) + 1] = nids
             tgt_out[i, : len(nids)] = nids
             tgt_out[i, len(nids)] = self.nd.eos_id
-            cs = np.round(np.asarray(durs[:t]) * 100.0)
-            dur[i, : len(cs)] = cs
+            cs = np.round(np.asarray(durs) * 100.0)[: t - 2]
+            dur[i, 1: 1 + len(cs)] = cs
         return {"src": src, "tgt_in": tgt_in, "tgt_out": tgt_out,
                 "durations_cs": dur}
 
@@ -223,8 +229,9 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
 def train_family(family: str, steps: int = 100, batch_size: int = 16,
                  lr: float = 3e-4, tiny: bool = False, data=None,
                  ckpt_dir=None, resume=None, log_every: int = 10,
-                 seed: int = 0, metrics_writer=None):
-    """Train one family; returns the list of logged losses."""
+                 seed: int = 0, metrics_writer=None, return_params=False):
+    """Train one family; returns the list of logged losses (or
+    ``(losses, trained_params)`` with return_params=True)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -272,7 +279,7 @@ def train_family(family: str, steps: int = 100, batch_size: int = 16,
                           "step": start_step + steps}, force=True)
         ckptr.wait_until_finished()
         print(f"saved {path}")
-    return losses
+    return (losses, params) if return_params else losses
 
 
 def main(argv=None):

@@ -139,6 +139,30 @@ def test_service_routes_svs_through_batcher(tmp_path):
     assert svc._batcher.stats["sentences"] == 1
 
 
+def test_profile_endpoint_captures_trace(tmp_path):
+    import json
+    import threading
+    import urllib.request
+
+    from music_generation_tpu.serve import make_http_server
+    cfg = ServiceConfig(log_dir=str(tmp_path))
+    svc = MusicGenerationService(FakeSongs(), None, cfg)
+    server = make_http_server(svc, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        trace_dir = str(tmp_path / "trace")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/profile?seconds=0.1&dir={trace_dir}",
+            data=b"", method="POST")
+        out = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert out["ok"] is True
+        import glob
+        assert glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
+    finally:
+        server.shutdown()
+
+
 def test_service_batching_disabled_falls_back(tmp_path):
     cfg = ServiceConfig(log_dir=str(tmp_path), svs_batching=False)
     songs = FakeSongs()

@@ -38,3 +38,31 @@ def test_melody_pairs_from_transcriptions(tmp_path):
         "0.1 0.2 0.15 0.25\n", encoding="utf-8")
     pairs = _melody_pairs_from_transcriptions(str(f))
     assert pairs == [("你好", ["C4", "D4"], [0.3, 0.4])]
+
+
+def test_melody_batcher_matches_serving_encode():
+    """Training src must use the SAME [BOS] chars [EOS] layout the serving
+    path feeds at inference (api._encode_src) — regression for the
+    train/serve skew that silently wrecked free-running decode accuracy."""
+    import numpy as np
+    from music_generation_tpu.frontend import load_lexicon
+    from music_generation_tpu.models.melody import (
+        MelodyConfig, MelodyGenerator, lyric_dictionary_from_chars,
+        note_dictionary)
+    from music_generation_tpu.train.seq import _MelodyBatcher
+
+    chars = sorted(load_lexicon().monosyllable.keys())
+    ld, nd = lyric_dictionary_from_chars(chars), note_dictionary()
+    text = "你好世界"
+    batcher = _MelodyBatcher([(text, ["C4"] * 4, [0.3] * 4)], ld, nd)
+    b = batcher.batch(1)
+    mg = MelodyGenerator(ld, nd,
+                         cfg=MelodyConfig(src_vocab=ld.size,
+                                          tgt_vocab=nd.size, n_layers=1,
+                                          d_model=32, d_ff=64, n_heads=2))
+    served = mg._encode_src(text)[0]
+    n = 4 + 2  # BOS + chars + EOS
+    np.testing.assert_array_equal(b["src"][0][:n], served[:n])
+    # durations align with char positions 1..n (BOS/EOS slots stay 0)
+    assert b["durations_cs"][0][0] == 0
+    assert (b["durations_cs"][0][1:5] == 30).all()

@@ -1,0 +1,131 @@
+"""End-to-end trained-system demo: train every pipeline stage from scratch
+on the synthetic toy corpus, wire the TRAINED weights into the serving
+pipeline, synthesize a song, and measure quality probes.
+
+The reference snapshot ships no usable checkpoints (.MISSING_LARGE_BLOBS),
+so training-from-scratch -> serving is the only path to a working system;
+this tool proves that loop end to end and commits the evidence:
+
+  1. melody_note transformer on deterministic char->note toy pairs
+     -> held-out teacher-forced note accuracy (learnable mapping; random
+        baseline ~1/30)
+  2. duration_mse head -> falling log-duration MSE
+  3. trained weights injected into MelodyGenerator + SongSynthesizer
+     (compat.load_pipeline layout) -> full lyrics->WAV synthesis
+  4. e2e probe: the notes the served pipeline emits for unseen lyrics match
+     the ground-truth mapping
+
+Writes artifacts/e2e_trained_demo.json. Runs on CPU in a few minutes:
+    JAX_PLATFORMS=cpu python tools/e2e_trained_demo.py [--steps 400]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--out", default="artifacts/e2e_trained_demo.json")
+    args = p.parse_args(argv)
+
+    import jax
+    cpus = jax.devices("cpu")
+    jax.config.update("jax_default_device", cpus[0])
+    import jax.numpy as jnp
+    import numpy as np
+
+    from music_generation_tpu.frontend import load_lexicon, note_to_midi
+    from music_generation_tpu.models.melody import (
+        MelodyConfig, MelodyGenerator, lyric_dictionary_from_chars,
+        note_dictionary)
+    from music_generation_tpu.models.melody.transformer import causal_mask
+    from music_generation_tpu.train.seq import (_MelodyBatcher,
+                                                _toy_melody_pairs,
+                                                build_family, train_family)
+    from music_generation_tpu.train.toydata import _SYL_TEXT, _TOY_NOTES
+
+    t_start = time.time()
+    report = {"steps": args.steps}
+
+    # ---- 1. train the melody note model on the deterministic mapping ----
+    note_losses, note_params = train_family(
+        "melody_note", steps=args.steps, batch_size=32, tiny=True,
+        log_every=max(args.steps // 4, 1), return_params=True)
+    report["melody_note"] = {"first_loss": round(note_losses[0], 4),
+                             "final_loss": round(note_losses[-1], 4)}
+
+    # held-out accuracy: fresh sentences from the same char->note law
+    model, _params0, _loss, _b = build_family("melody_note", True, None)
+    chars = sorted(load_lexicon().monosyllable.keys())
+    ld, nd = lyric_dictionary_from_chars(chars), note_dictionary()
+    heldout = _MelodyBatcher(_toy_melody_pairs(n=64, seed=999), ld, nd)
+    b = heldout.batch(64)
+    src, tgt_in, tgt_out = (jnp.asarray(b[k])
+                            for k in ("src", "tgt_in", "tgt_out"))
+    src_attn = (src != 0)[:, None, None, :].astype(jnp.int32)
+    logits = model.apply(note_params, src, tgt_in, src_attn,
+                         causal_mask(tgt_in.shape[1]))
+    pred = np.asarray(jnp.argmax(logits, -1))
+    mask = np.asarray(tgt_out) != 0
+    acc = float((pred[mask] == np.asarray(tgt_out)[mask]).mean())
+    report["melody_note"]["heldout_accuracy"] = round(acc, 4)
+    report["melody_note"]["random_baseline"] = round(1.0 / nd.size, 4)
+
+    # ---- 2. duration head ----
+    dur_losses, dur_params = train_family(
+        "duration_mse", steps=args.steps, batch_size=32, tiny=True,
+        log_every=max(args.steps // 4, 1), return_params=True)
+    report["duration_mse"] = {"first_loss": round(dur_losses[0], 4),
+                              "final_loss": round(dur_losses[-1], 4)}
+
+    # ---- 3. serve the trained weights: full lyrics -> WAV ----
+    from music_generation_tpu.models.svs import SVSConfig
+    from music_generation_tpu.pipeline.synthesis import (SVSSynthesizer,
+                                                         SongSynthesizer)
+    mcfg = MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size,
+                        n_layers=1, d_model=32, d_ff=64, n_heads=2)
+    melody = MelodyGenerator(ld, nd, cfg=mcfg, duration_variant="mse")
+    melody.note_params = note_params
+    melody.duration_params = dur_params
+    scfg = SVSConfig(inter_channels=16, hidden_channels=16,
+                     filter_channels=32, n_heads=2, n_layers=1,
+                     spec_channels=65, resblock_kernel_sizes=(3,),
+                     resblock_dilation_sizes=((1, 3),),
+                     upsample_rates=(8, 8, 2, 2),
+                     upsample_initial_channel=32,
+                     upsample_kernel_sizes=(16, 16, 4, 4))
+    songs = SongSynthesizer(melody, {0: SVSSynthesizer(scfg)})
+    demo_text = "".join(_SYL_TEXT[s] for s in ("ni", "hao", "shi", "jie",
+                                               "tian", "di"))
+    result = songs.synthesize_song(demo_text)
+    report["e2e"] = {
+        "lyrics": demo_text,
+        "wav_bytes": len(result.wav_bytes),
+        "n_sentences": len(result.lyrics_sentences),
+    }
+
+    # ---- 4. e2e probe: served notes match the ground-truth mapping ----
+    truth = [_TOY_NOTES[hash(ch) % len(_TOY_NOTES)] for ch in demo_text]
+    truth_midi = [note_to_midi(n) for n in truth]
+    served = [int(note_to_midi(n)) if n != "rest" else -1
+              for n in result.notes[0]]
+    n = min(len(truth_midi), len(served))
+    e2e_acc = float(np.mean([served[i] == truth_midi[i] for i in range(n)]))
+    report["e2e"]["note_accuracy_vs_mapping"] = round(e2e_acc, 4)
+    report["wall_s"] = round(time.time() - t_start, 1)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2, ensure_ascii=False)
+    print(json.dumps(report, ensure_ascii=False))
+    return report
+
+
+if __name__ == "__main__":
+    main()
