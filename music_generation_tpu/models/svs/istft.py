@@ -44,8 +44,19 @@ def istft_overlap_add(mag: jnp.ndarray, phase: jnp.ndarray, n_fft: int,
     """
     assert n_fft % hop == 0, (n_fft, hop)
     b, t, _ = mag.shape
-    spec = mag * jnp.exp(1j * phase)
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)        # [B, T, n_fft]
+    # irfft as a real basis matmul (the TPU backend has no complex ops, and
+    # at n_fft=16 a [n_bins, n_fft] GEMM is the MXU-native form anyway):
+    # x[n] = 1/N * sum_k w_k * (Re_k cos(2pi k n/N) - Im_k sin(2pi k n/N)),
+    # w_k = 1 for k in {0, N/2}, else 2.
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    w = np.where((k == 0) | (k == n_fft // 2), 1.0, 2.0) / n_fft
+    cos_b = jnp.asarray(w * np.cos(2 * np.pi * k * n / n_fft), mag.dtype)
+    sin_b = jnp.asarray(w * np.sin(2 * np.pi * k * n / n_fft), mag.dtype)
+    re = mag * jnp.cos(phase)
+    im = mag * jnp.sin(phase)
+    frames = re @ cos_b - im @ sin_b                      # [B, T, n_fft]
     win = jnp.asarray(_hann(n_fft), frames.dtype)
     frames = frames * win
     r = n_fft // hop                # frames overlapping each output sample

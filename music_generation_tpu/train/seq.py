@@ -71,6 +71,27 @@ def _toy_melody_pairs(n: int = 64, syllables: int = 6, seed: int = 0):
     return pairs
 
 
+def _toy_melody_pairs_prev(n: int = 64, syllables: int = 6, seed: int = 0):
+    """Two-sentence songs where the SECOND sentence's notes depend on the
+    previous sentence's last note — decodable only through the
+    dot-attention previous-sentence memory (api._beam_impl use_prev)."""
+    from .toydata import _SYL_TEXT, _TOY_NOTES, _TOY_SYLLABLES
+    rng = np.random.RandomState(seed)
+    pairs = []
+    for _ in range(n):
+        syls1 = [str(rng.choice(_TOY_SYLLABLES)) for _ in range(syllables)]
+        syls2 = [str(rng.choice(_TOY_SYLLABLES)) for _ in range(syllables)]
+        text1 = "".join(_SYL_TEXT[s] for s in syls1)
+        text2 = "".join(_SYL_TEXT[s] for s in syls2)
+        notes1 = [_TOY_NOTES[hash(ch) % len(_TOY_NOTES)] for ch in text1]
+        shift = _TOY_NOTES.index(notes1[-1])
+        notes2 = [_TOY_NOTES[(hash(ch) + shift) % len(_TOY_NOTES)]
+                  for ch in text2]
+        durs = [0.3] * syllables
+        pairs.append((text2, notes2, durs, notes1))
+    return pairs
+
+
 def _toy_lyric_lines(n: int = 128, seed: int = 0):
     rng = np.random.RandomState(seed)
     base = ["小小的天有大大的梦想", "月亮代表我的心", "宁静的夏天天空中繁星点点",
@@ -95,9 +116,22 @@ class _MelodyBatcher:
         tgt_out = np.zeros((bs, t + 1), np.int32)
         dur = np.zeros((bs, t), np.float32)
         picks = self.rng.choice(len(self.pairs), bs)
+        has_prev = len(self.pairs[0]) == 4
+        prev = np.zeros((bs, t), np.int32) if has_prev else None
         from ..frontend import note_to_midi
         for i, p in enumerate(picks):
-            text, notes, durs = self.pairs[p]
+            pair = self.pairs[p]
+            text, notes, durs = pair[:3]
+            if has_prev:
+                # serving layout for the conditioning sentence
+                # (api.generate: [BOS] + note ids + [EOS], trailing rest
+                # dropped upstream)
+                pids = ([self.nd.bos_id]
+                        + self.nd.encode(
+                            [str(note_to_midi(x)) if x != "rest" else x
+                             for x in pair[3]])
+                        + [self.nd.eos_id])[:t]
+                prev[i, : len(pids)] = pids
             # SERVING convention (api._encode_src / the reference's
             # transformer_melody rpad): src = [BOS] chars [EOS]; durations
             # align with the char positions 1..n (format_durations strips
@@ -115,8 +149,11 @@ class _MelodyBatcher:
             tgt_out[i, len(nids)] = self.nd.eos_id
             cs = np.round(np.asarray(durs) * 100.0)[: t - 2]
             dur[i, 1: 1 + len(cs)] = cs
-        return {"src": src, "tgt_in": tgt_in, "tgt_out": tgt_out,
-                "durations_cs": dur}
+        out = {"src": src, "tgt_in": tgt_in, "tgt_out": tgt_out,
+               "durations_cs": dur}
+        if has_prev:
+            out["prev"] = prev
+        return out
 
 
 class _LyricBatcher:
@@ -159,12 +196,29 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
     from . import seq_losses
 
     key = jax.random.PRNGKey(seed)
-    if family in ("melody_note", "duration_mse", "duration_sdp"):
+    if family in ("melody_note", "melody_note_prev", "duration_mse",
+                  "duration_sdp"):
         chars = sorted(load_lexicon().monosyllable.keys())
         ld, nd = lyric_dictionary_from_chars(chars), note_dictionary()
-        pairs = (_melody_pairs_from_transcriptions(data) if data
-                 else _toy_melody_pairs(seed=seed))
+        if family == "melody_note_prev":
+            pairs = _toy_melody_pairs_prev(seed=seed)
+        elif data:
+            pairs = _melody_pairs_from_transcriptions(data)
+        else:
+            pairs = _toy_melody_pairs(seed=seed)
         batcher = _MelodyBatcher(pairs, ld, nd, seed=seed)
+        if family == "melody_note_prev":
+            cfg = (MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size,
+                                n_layers=1, d_model=32, d_ff=64, n_heads=2)
+                   if tiny else
+                   MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size))
+            model = MelodyTransformer(cfg)
+            b = batcher.batch(2)
+            params = model.init(
+                key, jnp.asarray(b["src"]), jnp.asarray(b["tgt_in"]),
+                (jnp.asarray(b["src"]) != 0)[:, None, None, :].astype(
+                    jnp.int32), causal_mask(b["tgt_in"].shape[1]))
+            return model, params, seq_losses.melody_note_prev_loss, batcher
         if family == "melody_note":
             cfg = (MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size,
                                 n_layers=1, d_model=32, d_ff=64, n_heads=2)
@@ -285,7 +339,8 @@ def train_family(family: str, steps: int = 100, batch_size: int = 16,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--family", required=True,
-                   choices=["melody_note", "duration_mse", "duration_sdp",
+                   choices=["melody_note", "melody_note_prev",
+                            "duration_mse", "duration_sdp",
                             "gpt2", "t5", "all"])
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=16)
@@ -298,7 +353,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    families = (["melody_note", "duration_mse", "duration_sdp", "gpt2", "t5"]
+    families = (["melody_note", "melody_note_prev", "duration_mse",
+                 "duration_sdp", "gpt2", "t5"]
                 if args.family == "all" else [args.family])
     writer = None
     if args.ckpt_dir:

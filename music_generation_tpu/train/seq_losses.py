@@ -37,6 +37,25 @@ def melody_note_loss(model, params, batch, dropout_rng):
     return cross_entropy(logits, tgt_out, label_smoothing=0.1)
 
 
+def melody_note_prev_loss(model, params, batch, dropout_rng):
+    """Teacher-forced loss THROUGH the previous-sentence dot-attention
+    memory (api._beam_impl use_prev path; transformer_melody/model.py
+    :349-362) — trains the cross-sentence conditioning the serving pipeline
+    uses for every sentence after the first."""
+    from ..models.melody.transformer import MelodyTransformer, causal_mask
+    src, tgt_in, tgt_out = batch["src"], batch["tgt_in"], batch["tgt_out"]
+    src_attn = (src != 0)[:, None, None, :].astype(jnp.int32)
+    rngs = {"dropout": dropout_rng}
+    memory = model.apply(params, src, src_attn, batch["prev"],
+                         deterministic=False, rngs=rngs,
+                         method=MelodyTransformer.dot_attention_memory)
+    out = model.apply(params, memory, src_attn, tgt_in,
+                      causal_mask(tgt_in.shape[1]), deterministic=False,
+                      rngs=rngs, method=MelodyTransformer.decode)
+    logits = model.apply(params, out, method=MelodyTransformer.logits)
+    return cross_entropy(logits, tgt_out, label_smoothing=0.1)
+
+
 def duration_mse_loss(model, params, batch, dropout_rng):
     """log-duration regression (MSE family): targets in centiseconds."""
     src = batch["src"]

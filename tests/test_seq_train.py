@@ -66,3 +66,13 @@ def test_melody_batcher_matches_serving_encode():
     # durations align with char positions 1..n (BOS/EOS slots stay 0)
     assert b["durations_cs"][0][0] == 0
     assert (b["durations_cs"][0][1:5] == 30).all()
+
+
+def test_melody_note_prev_trains():
+    """The previous-sentence conditioning path (dot-attention memory, used
+    by serving for every sentence after the first) trains to falling loss
+    on pairs whose targets are decodable only through the prev memory."""
+    from music_generation_tpu.train.seq import train_family
+    losses = train_family("melody_note_prev", steps=30, batch_size=16,
+                          tiny=True, log_every=30)
+    assert losses[-1] < losses[0]

@@ -77,6 +77,41 @@ def main(argv=None):
     report["melody_note"]["heldout_accuracy"] = round(acc, 4)
     report["melody_note"]["random_baseline"] = round(1.0 / nd.size, 4)
 
+    # ---- 1b. previous-sentence conditioning (dot-attention memory) ----
+    from music_generation_tpu.models.melody.transformer import (
+        MelodyTransformer)
+    from music_generation_tpu.train.seq import _toy_melody_pairs_prev
+    from music_generation_tpu.train import seq_losses
+    prev_losses, prev_params = train_family(
+        "melody_note_prev", steps=args.steps, batch_size=32, tiny=True,
+        log_every=max(args.steps // 4, 1), return_params=True)
+    model_p, _pp, _lp, _bp = build_family("melody_note_prev", True, None)
+    hb = _MelodyBatcher(_toy_melody_pairs_prev(n=64, seed=998), ld, nd)
+    b = hb.batch(64)
+
+    def _prev_acc(prev_arr):
+        src_l = jnp.asarray(b["src"])
+        attn = (src_l != 0)[:, None, None, :].astype(jnp.int32)
+        mem = model_p.apply(prev_params, src_l, attn, jnp.asarray(prev_arr),
+                            method=MelodyTransformer.dot_attention_memory)
+        out = model_p.apply(prev_params, mem, attn, jnp.asarray(b["tgt_in"]),
+                            causal_mask(b["tgt_in"].shape[1]),
+                            method=MelodyTransformer.decode)
+        lg = model_p.apply(prev_params, out,
+                           method=MelodyTransformer.logits)
+        pr = np.asarray(jnp.argmax(lg, -1))
+        m = np.asarray(b["tgt_out"]) != 0
+        return float((pr[m] == np.asarray(b["tgt_out"])[m]).mean())
+
+    acc_true = _prev_acc(b["prev"])
+    acc_shuf = _prev_acc(np.roll(b["prev"], 1, axis=0))  # wrong prevs
+    report["melody_note_prev"] = {
+        "first_loss": round(prev_losses[0], 4),
+        "final_loss": round(prev_losses[-1], 4),
+        "heldout_accuracy_true_prev": round(acc_true, 4),
+        "heldout_accuracy_shuffled_prev": round(acc_shuf, 4),
+    }
+
     # ---- 2. duration head ----
     dur_losses, dur_params = train_family(
         "duration_mse", steps=args.steps, batch_size=32, tiny=True,
