@@ -86,9 +86,16 @@ def render_tracks(tracks: list, tempo_bpm: float = 120.0,
                   sample_rate: int = SAMPLE_RATE,
                   total_seconds: float | None = None,
                   tick_offset: int = 0,
-                  gain: float = 0.2) -> np.ndarray:
-    """Render MIDI tracks (audio/midi.py Track/Note) to a mono waveform."""
-    sec_per_tick = 60.0 / tempo_bpm / ticks_per_beat
+                  gain: float = 0.2,
+                  sec_per_tick: float | None = None) -> np.ndarray:
+    """Render MIDI tracks (audio/midi.py Track/Note) to a mono waveform.
+
+    ``sec_per_tick`` overrides the tempo-derived tick length — the song
+    pipeline passes 0.001 so the accompaniment shares the vocal's clock
+    (TeleMelody note durations are read back as ticks/1000 seconds,
+    telemelody.py:409)."""
+    if sec_per_tick is None:
+        sec_per_tick = 60.0 / tempo_bpm / ticks_per_beat
     end_s = 0.0
     for tr in tracks:
         for n in tr.notes:

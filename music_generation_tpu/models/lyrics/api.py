@@ -44,8 +44,14 @@ def find_vocab_artifact(family: str) -> Optional[str]:
     env = os.environ.get("MUSIC_GEN_VOCAB_DIR")
     if env:
         candidates.append(os.path.join(env, _VOCAB_FILES[family]))
-    candidates.append(os.path.join("checkpoints", "vocab",
-                                   _VOCAB_FILES[family]))
+    # both the launch cwd and the repo root (three levels above this file):
+    # cwd-only resolution would silently swap the tokenizer — and hence the
+    # model's vocab size — based on where the process was started
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    for base in (os.getcwd(), repo_root):
+        candidates.append(os.path.join(base, "checkpoints", "vocab",
+                                       _VOCAB_FILES[family]))
     ref = os.environ.get("MUSIC_GEN_REFERENCE_DIR", "/root/reference")
     candidates.append(os.path.join(ref, _REF_PATHS[family]))
     for c in candidates:

@@ -243,12 +243,19 @@ class MelodyGenerator:
             results.append((lyric + "AP", notes, durations))
         return results
 
+    # sanity bound shared with the fused program (pipeline/fused.py
+    # MAX_PHONE_SECONDS): a duration head can emit negative or huge values
+    # before training; clamp identically on both paths so staged and fused
+    # songs expand to the same frame counts
+    MAX_PHONE_SECONDS = 2.0
+
     def _format_durations(self, dur_raw, src_row, n_chars: int) -> list[float]:
         if self.duration_variant == "mse":
             vals = np.round(dur_raw).tolist()
             n_valid = int((src_row != 0).sum())
             vals = vals[1: n_valid - 1]
-            durations = [round(d * 0.01, 4) for d in vals]
+            durations = [round(min(max(d * 0.01, 0.0),
+                                   self.MAX_PHONE_SECONDS), 4) for d in vals]
             return (durations + [0.4] * n_chars)[: n_chars]
         vals = dur_raw.tolist()
         durations = [round(float(d * 0.01), 4) for d in vals]

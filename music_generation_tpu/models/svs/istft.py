@@ -121,6 +121,34 @@ def pqmf_synthesis(bands: jnp.ndarray, filters: np.ndarray) -> jnp.ndarray:
     return out[..., 0]
 
 
+def _hifigan_trunk(mdl, x, g):
+    """Shared conv_pre + upsample/resblock trunk (the learned low-rate part
+    of both iSTFT generators; same structure as hifigan.Generator's body)."""
+    res_cls = ResBlock1 if mdl.resblock == "1" else ResBlock2
+    x = Conv1d(mdl.upsample_initial_channel, 7, name="conv_pre")(x)
+    if g is not None:
+        x = x + Conv1d(mdl.upsample_initial_channel, 1, name="cond")(g)
+    num_kernels = len(mdl.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(zip(mdl.upsample_rates,
+                                   mdl.upsample_kernel_sizes)):
+        ch = mdl.upsample_initial_channel // (2 ** (i + 1))
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = ConvTranspose1d(ch, k, u, weight_norm=True, name=f"up_{i}")(x)
+        xs = None
+        for j, (rk, rd) in enumerate(zip(mdl.resblock_kernel_sizes,
+                                         mdl.resblock_dilation_sizes)):
+            y = res_cls(ch, rk, tuple(rd), name=f"res_{i}_{j}")(x)
+            xs = y if xs is None else xs + y
+        x = xs / num_kernels
+    return jax.nn.leaky_relu(x)
+
+
+def _mag_phase(h, n_bins):
+    mag = jnp.exp(jnp.clip(h[..., :n_bins], -10.0, 6.0))
+    phase = jnp.pi * jnp.tanh(h[..., n_bins:])
+    return mag, phase
+
+
 class ISTFTGenerator(nn.Module):
     """HiFi-GAN trunk at low rate + iSTFT head (single band).
 
@@ -138,27 +166,10 @@ class ISTFTGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x, g=None):
-        res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
-        x = Conv1d(self.upsample_initial_channel, 7, name="conv_pre")(x)
-        if g is not None:
-            x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
-        num_kernels = len(self.resblock_kernel_sizes)
-        for i, (u, k) in enumerate(zip(self.upsample_rates,
-                                       self.upsample_kernel_sizes)):
-            ch = self.upsample_initial_channel // (2 ** (i + 1))
-            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
-            x = ConvTranspose1d(ch, k, u, weight_norm=True, name=f"up_{i}")(x)
-            xs = None
-            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
-                                             self.resblock_dilation_sizes)):
-                y = res_cls(ch, rk, tuple(rd), name=f"res_{i}_{j}")(x)
-                xs = y if xs is None else xs + y
-            x = xs / num_kernels
-        x = jax.nn.leaky_relu(x)
+        x = _hifigan_trunk(self, x, g)
         n_bins = self.istft_n_fft // 2 + 1
         h = Conv1d(2 * n_bins, 7, name="istft_head")(x)
-        mag = jnp.exp(jnp.clip(h[..., :n_bins], -10.0, 6.0))
-        phase = jnp.pi * jnp.tanh(h[..., n_bins:])
+        mag, phase = _mag_phase(h, n_bins)
         audio = istft_overlap_add(mag, phase, self.istft_n_fft,
                                   self.istft_hop)
         return jnp.tanh(audio)[..., None]
@@ -183,29 +194,12 @@ class MBISTFTGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x, g=None):
-        res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
-        x = Conv1d(self.upsample_initial_channel, 7, name="conv_pre")(x)
-        if g is not None:
-            x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
-        num_kernels = len(self.resblock_kernel_sizes)
-        for i, (u, k) in enumerate(zip(self.upsample_rates,
-                                       self.upsample_kernel_sizes)):
-            ch = self.upsample_initial_channel // (2 ** (i + 1))
-            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
-            x = ConvTranspose1d(ch, k, u, weight_norm=True, name=f"up_{i}")(x)
-            xs = None
-            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
-                                             self.resblock_dilation_sizes)):
-                y = res_cls(ch, rk, tuple(rd), name=f"res_{i}_{j}")(x)
-                xs = y if xs is None else xs + y
-            x = xs / num_kernels
-        x = jax.nn.leaky_relu(x)
+        x = _hifigan_trunk(self, x, g)
         n_bins = self.istft_n_fft // 2 + 1
         h = Conv1d(2 * n_bins * self.subbands, 7, name="istft_head")(x)
         b, t, _ = h.shape
         h = h.reshape(b, t, self.subbands, 2 * n_bins)
-        mag = jnp.exp(jnp.clip(h[..., :n_bins], -10.0, 6.0))
-        phase = jnp.pi * jnp.tanh(h[..., n_bins:])
+        mag, phase = _mag_phase(h, n_bins)
         bands = []
         for s in range(self.subbands):
             bands.append(istft_overlap_add(mag[:, :, s], phase[:, :, s],

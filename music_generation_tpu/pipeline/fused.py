@@ -31,7 +31,8 @@ from ..models.svs import VISinger
 from .synthesis import (FRAME_BUCKETS, PHONE_BUCKETS, SVSSynthesizer,
                         SongResult, _bucket, split_sentences)
 
-MAX_PHONE_SECONDS = 2.0
+from ..models.melody.api import MelodyGenerator as _MG
+MAX_PHONE_SECONDS = _MG.MAX_PHONE_SECONDS  # single source of truth
 
 
 def _midi_table(note_dict) -> np.ndarray:

@@ -201,12 +201,23 @@ class SVSSynthesizer:
                 stack("shengdiao_ids", np.int32))
         return max_frames, args
 
+    # largest full-size sentence batch that fits one v5e's 15.75 G HBM
+    # (b=32 x 512-frame HiFi-GAN activations need ~22 G)
+    MAX_BATCH = 16
+
     def synthesize_batch(self, scores: list) -> list[np.ndarray]:
         """Batch independent sentences into ONE jitted SVS call (the melody
         stage is sequential due to previous-sentence conditioning, but SVS is
-        not — batching it turns N launches into one MXU-friendly batch)."""
+        not — batching it turns N launches into one MXU-friendly batch).
+        Batches beyond MAX_BATCH sentences split into multiple calls so a
+        single 500-char request can't exceed HBM."""
         if not scores:
             return []
+        if len(scores) > self.MAX_BATCH:
+            out = []
+            for k in range(0, len(scores), self.MAX_BATCH):
+                out.extend(self.synthesize_batch(scores[k: k + self.MAX_BATCH]))
+            return out
         max_frames, args = self._batch_inputs(scores)
         self._infer_key, sub = jax.random.split(self._infer_key)
         audio, mel_len = self._compiled_int16(max_frames)(
@@ -220,11 +231,17 @@ class SVSSynthesizer:
 
     def batch_cost_analysis(self, scores: list) -> dict:
         """XLA cost analysis (flops etc.) of the batched SVS executable for
-        these scores — the basis of the bench's utilization metric."""
+        these scores — the basis of the bench's utilization metric. Reads
+        the analytical cost from the LOWERED module (no backend compile —
+        `.compile()` here would not share the jit dispatch cache and costs
+        a second multi-minute remote compile on this backend)."""
         max_frames, args = self._batch_inputs(scores)
         lowered = self._compiled_int16(max_frames).lower(
             self.params, jax.random.PRNGKey(0), *args)
-        cost = lowered.compile().cost_analysis()
+        try:
+            cost = lowered.cost_analysis()
+        except Exception:
+            cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):  # some backends wrap in a list
             cost = cost[0] if cost else {}
         return dict(cost or {})
@@ -331,8 +348,13 @@ class SongSynthesizer:
         offset = 0.2  # leading delay pad (concat_with_delay)
         for wav, tracks in zip(wavs, sentence_tracks):
             if tracks:
+                # sec_per_tick=0.001 keeps the accompaniment on the SAME
+                # clock as the vocal (melody durations are ticks/1000 s,
+                # telemelody.py:409) — a tempo-derived tick would drift
+                # ~4% per sentence against the singing
                 r = render_tracks(tracks, total_seconds=total - offset,
-                                  sample_rate=sample_rate, gain=1.0)
+                                  sample_rate=sample_rate, gain=1.0,
+                                  sec_per_tick=0.001)
                 i0 = int(offset * sample_rate)
                 n = min(len(r), len(song) - i0)
                 accomp[i0: i0 + n] += r[:n]

@@ -59,6 +59,7 @@ class MusicGenerationService:
         self.shell_backend = shell_backend
         self.canned_dir = canned_dir
         self._lock = threading.Lock()
+        self._profile_lock = threading.Lock()  # one profiler trace at a time
         # cross-request SVS micro-batching: concurrent requests coalesce
         # their sentences into one device call (serve/batching.py); the
         # melody stage is serialized inside SongSynthesizer instead of
@@ -197,19 +198,62 @@ def make_http_server(service: MusicGenerationService, host: str, port: int):
                 self._send_json({"code": 404, "message": "not found"}, 404)
 
         def do_POST(self):
-            if self.path.startswith("/profile"):
+            parsed_path = self.path.split("?")[0].rstrip("/")
+            if parsed_path == "/profile":
                 # capture a jax.profiler trace of live traffic (open with
-                # TensorBoard/xprof); ?seconds=N bounds the capture window
+                # TensorBoard/xprof); ?seconds=N bounds the capture window.
+                # Traces always land under <log_dir>/profile/<subdir> (the
+                # dir param picks the subdir, not an arbitrary path), and
+                # only one capture runs at a time.
                 from urllib.parse import parse_qs as _pq, urlparse as _up
                 q = _pq(_up(self.path).query)
-                seconds = min(float(q.get("seconds", ["2"])[0]), 60.0)
-                log_dir = q.get("dir", ["./logs/profile"])[0]
-                import jax as _jax
-                _jax.profiler.start_trace(log_dir)
-                time.sleep(seconds)
-                _jax.profiler.stop_trace()
-                self._send_json({"ok": True, "trace_dir": log_dir,
-                                 "seconds": seconds})
+                try:
+                    seconds = min(max(
+                        float(q.get("seconds", ["2"])[0]), 0.0), 60.0)
+                except ValueError:
+                    self._send_json({"ok": False,
+                                     "message": "seconds must be a number"},
+                                    400)
+                    return
+                sub = os.path.basename(q.get("dir", ["profile"])[0]) or \
+                    "profile"
+                log_dir = os.path.join(service.cfg.log_dir, "profile", sub)
+                if not service._profile_lock.acquire(blocking=False):
+                    self._send_json({"ok": False,
+                                     "message": "a trace is already running"},
+                                    409)
+                    return
+                # run the capture on a worker with a bounded join: on this
+                # backend stop_trace contacts the (remote) device profiler
+                # daemon and can wedge — the endpoint must answer regardless
+                outcome = {}
+
+                def _capture():
+                    try:
+                        import jax as _jax
+                        _jax.profiler.start_trace(log_dir)
+                        time.sleep(seconds)
+                        _jax.profiler.stop_trace()
+                        outcome["ok"] = True
+                    except Exception as e:
+                        outcome["error"] = str(e)
+                    finally:
+                        service._profile_lock.release()
+
+                worker = threading.Thread(target=_capture, daemon=True)
+                worker.start()
+                worker.join(timeout=seconds + 30.0)
+                if worker.is_alive():
+                    self._send_json(
+                        {"ok": False,
+                         "message": "profiler did not finish (device "
+                                    "profiler daemon unresponsive)"}, 504)
+                elif "error" in outcome:
+                    self._send_json({"ok": False,
+                                     "message": outcome["error"]}, 500)
+                else:
+                    self._send_json({"ok": True, "trace_dir": log_dir,
+                                     "seconds": seconds})
                 return
             if self.path != "/synthesis_music":
                 self._send_json({"code": 404, "message": "not found"}, 404)

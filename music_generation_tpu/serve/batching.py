@@ -94,34 +94,35 @@ class SVSBatcher:
                 self._execute(items)
 
     def _execute(self, items: List[_Pending]) -> None:
+        """Flatten all pending scores, run device calls of at most
+        max_sentences (splitting WITHIN a request too — a single 500-char
+        request can carry ~30 sentences, and an uncapped b=32 full-size
+        batch needs ~22 G of HBM vs the v5e's 15.75 G), then reassemble
+        per-request results."""
         svs = items[0].svs
-        # chunk so one giant request can't blow past the largest batch bucket
-        chunks: List[List[_Pending]] = [[]]
-        count = 0
-        for item in items:
-            if count and count + len(item.scores) > self.max_sentences:
-                chunks.append([])
-                count = 0
-            chunks[-1].append(item)
-            count += len(item.scores)
-        for chunk in chunks:
-            scores = [s for item in chunk for s in item.scores]
+        flat = [s for item in items for s in item.scores]
+        wavs: List = []
+        err: Optional[BaseException] = None
+        self.stats["requests"] += len(items)
+        for k in range(0, len(flat), self.max_sentences):
+            chunk = flat[k: k + self.max_sentences]
             self.stats["device_calls"] += 1
-            self.stats["sentences"] += len(scores)
-            self.stats["requests"] += len(chunk)
-            self.stats["max_batch"] = max(self.stats["max_batch"], len(scores))
+            self.stats["sentences"] += len(chunk)
+            self.stats["max_batch"] = max(self.stats["max_batch"], len(chunk))
             try:
-                wavs = svs.synthesize_batch(scores)
-                off = 0
-                for item in chunk:
-                    item.result = wavs[off: off + len(item.scores)]
-                    off += len(item.scores)
-                    item.event.set()
+                wavs.extend(svs.synthesize_batch(chunk))
             except BaseException as e:
-                for item in chunk:
-                    if not item.event.is_set():
-                        item.error = e
-                        item.event.set()
+                err = e
+                break
+        off = 0
+        for item in items:
+            n = len(item.scores)
+            if err is None and off + n <= len(wavs):
+                item.result = wavs[off: off + n]
+            else:
+                item.error = err or RuntimeError("batch underrun")
+            off += n
+            item.event.set()
 
     def close(self) -> None:
         with self._cv:

@@ -149,6 +149,7 @@ def main(argv=None):
                        for s in range(args.steps))
 
         t0 = time.time()
+        metrics = None
         for step, batch in batches:
             rng, sub = jax.random.split(rng)
             gen_state, disc_state, metrics = step_fn(gen_state, disc_state,
@@ -164,7 +165,8 @@ def main(argv=None):
                                 metric=float(metrics["loss_mel"]))
         save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state, disc_state,
                         args.steps, keep_last=args.keep_last,
-                        metric=float(metrics["loss_mel"]))
+                        metric=(float(metrics["loss_mel"])
+                                if metrics is not None else None))
         total = time.time() - t0
         print(f"done: {args.steps} steps in {total:.1f}s "
               f"({args.steps * args.batch_size / total:.2f} samples/s)")

@@ -39,6 +39,21 @@ import numpy as np
 # datasets
 # --------------------------------------------------------------------------
 
+def _syllable_group_starts(phones: list[str]) -> list[int]:
+    """Indices where each syllable's phone group begins. A syllable is
+    either [initial, final+tone] or a single token: a zero-initial final
+    ('a1' — no separate initial) or a special (SP/AP/rest). Grouping by the
+    trailing tone digit is robust to 1-phone syllables, which a naive [::2]
+    stride silently misaligns."""
+    starts, in_group = [], False
+    for i, p in enumerate(phones):
+        if not in_group:
+            starts.append(i)
+        ends_group = p[-1:].isdigit() or p in ("SP", "AP", "rest")
+        in_group = not ends_group
+    return starts
+
+
 def _melody_pairs_from_transcriptions(path: str):
     """[(text, note_names, note_durs_seconds)] from the SVS format."""
     pairs = []
@@ -48,11 +63,14 @@ def _melody_pairs_from_transcriptions(path: str):
             if not line:
                 continue
             parts = line.split("|")
-            _name, text, _phones, notes, ndurs = parts[:5]
-            # one note per syllable: phones duplicate per initial/final, so
-            # dedup consecutive duplicates pairwise
-            note_list = notes.split(" ")[::2]
-            dur_list = [float(x) for x in ndurs.split(" ")][::2]
+            _name, text, phones, notes, ndurs = parts[:5]
+            # one note per syllable; phones duplicate across a syllable's
+            # initial/final, so take each group's first note/duration
+            starts = _syllable_group_starts(phones.split(" "))
+            note_all = notes.split(" ")
+            dur_all = [float(x) for x in ndurs.split(" ")]
+            note_list = [note_all[i] for i in starts]
+            dur_list = [dur_all[i] for i in starts]
             pairs.append((text, note_list, dur_list))
     return pairs
 

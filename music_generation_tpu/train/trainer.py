@@ -55,9 +55,15 @@ class TrainState(train_state.TrainState):
 
 
 def make_optimizer(cfg: TrainConfig):
+    # the schedule counts APPLIED optimizer updates — under MultiSteps that
+    # is once per accumulate_grad_batches mini-steps — so convert the
+    # per-epoch mini-step count into update counts to keep the decay at
+    # exactly one gamma per epoch
+    updates_per_epoch = max(
+        cfg.steps_per_epoch // max(cfg.accumulate_grad_batches, 1), 1)
     schedule = optax.exponential_decay(
         init_value=cfg.learning_rate,
-        transition_steps=max(cfg.steps_per_epoch, 1),
+        transition_steps=updates_per_epoch,
         decay_rate=cfg.lr_decay, staircase=True)
     tx = optax.chain(
         optax.clip(cfg.grad_clip),

