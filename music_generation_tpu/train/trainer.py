@@ -165,8 +165,15 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
         l_mel = losses.l1_masked(mel_fake, mel_real) * train_cfg.c_mel
         l_kl = losses.kl_divergence(out["z_p"], out["logs_q"], out["m_p"],
                                     out["logs_p"], out["y_mask"]) * train_cfg.c_kl
-        l_kl_rev = losses.gaussian_nll(out["z_hat"], out["m_q"], out["logs_q"],
-                                       out["y_mask"]) * train_cfg.c_kl
+        # reverse direction: the flow/prior sample z_hat should land where
+        # the posterior is. Stop-grad the posterior stats — otherwise this
+        # term pays the generator for shrinking logs_q toward the clamp
+        # (observed as loss_gen going hundreds negative while loss_mel
+        # rises mid-run) instead of improving the prior/flow.
+        l_kl_rev = losses.gaussian_nll(
+            out["z_hat"], jax.lax.stop_gradient(out["m_q"]),
+            jax.lax.stop_gradient(out["logs_q"]),
+            out["y_mask"]) * train_cfg.c_kl
         l_dur = losses.duration_loss(out["duration_fraction"],
                                      batch["note_durations"],
                                      batch["phone_durations"],

@@ -92,10 +92,34 @@ def main():
         jax.tree_util.tree_leaves(gen_state.params),
         jax.tree_util.tree_leaves(random_params)))
     print(f"restored param L1 delta vs random init: {delta:.3e}")
+
+    # F0-tracking probe: YIN pitch of the reconstruction vs the target
+    # audio's own YIN track over voiced frames — does the trained vocoder
+    # actually sing the right pitch? Reported in semitones RMSE.
+    from music_generation_tpu.audio.f0 import yin_f0
+
+    def f0_rmse_semitones(rec_audio):
+        errs = []
+        ref = np.asarray(batch["audio"])[..., 0]
+        for i in range(rec_audio.shape[0]):
+            n = min(int(y_len[i]) * cfg.hop_length, rec_audio.shape[1])
+            f_rec = yin_f0(np.asarray(rec_audio[i, :n], np.float32),
+                           sample_rate=cfg.sampling_rate, hop=cfg.hop_length)
+            f_ref = yin_f0(np.asarray(ref[i, :n], np.float32),
+                           sample_rate=cfg.sampling_rate, hop=cfg.hop_length)
+            m = min(len(f_rec), len(f_ref))
+            voiced = (f_rec[:m] > 0) & (f_ref[:m] > 0)
+            if voiced.sum() > 4:
+                d = 12.0 * np.log2(f_rec[:m][voiced] / f_ref[:m][voiced])
+                errs.append(float(np.sqrt(np.mean(d ** 2))))
+        return round(float(np.mean(errs)), 3) if errs else None
+
+    trained_f0 = f0_rmse_semitones(rec)
     result = {"ckpt": args.ckpt, "n_utts": args.n,
               "mel_l1_trained": round(trained_l1, 4),
               "mel_l1_random_init": round(random_l1, 4),
-              "improvement_x": round(random_l1 / max(trained_l1, 1e-9), 2)}
+              "improvement_x": round(random_l1 / max(trained_l1, 1e-9), 2),
+              "f0_rmse_semitones_trained": trained_f0}
     print(json.dumps(result))
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
