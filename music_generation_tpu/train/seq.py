@@ -13,6 +13,10 @@ family to a falling loss with orbax save/resume:
 Families:
   melody_note   lyric chars -> note tokens (label-smoothed CE;
                 transformer_melody/model.py training surface)
+  melody_note_prev  same model THROUGH the previous-sentence dot-attention
+                memory (the serving path for sentences after the first)
+  seq2seq       the melody_v2 RNN family: lyric2note + lyric2duration +
+                note2duration trained jointly (Melody/seq2seq)
   duration_mse  log-duration regression (MSE/mse_inference.py head)
   duration_sdp  stochastic-duration-predictor flow NLL
                 (transformer_melody/Lyric2Duration)
@@ -174,6 +178,55 @@ class _MelodyBatcher:
         return out
 
 
+class _Seq2SeqBatcher:
+    """Batches for the three-model melody_v2 family. Vocabularies are the
+    SERVING ones (seq2seq_api.default_langs) so trained checkpoints drop
+    into Seq2SeqMelodyGenerator; sequences start with _START_ and end with
+    _EOS_ exactly like beam_decode expects."""
+
+    def __init__(self, pairs, langs, t_len: int = 16, seed: int = 0):
+        from ..models.melody.seq2seq import EOS_ID, START_ID
+        self.pairs = pairs
+        self.lyric_lang, self.note_lang, self.dur_lang = langs
+        self.t = t_len
+        self.start, self.eos = START_ID, EOS_ID
+        self.rng = np.random.RandomState(seed)
+
+    def _tgt(self, ids, t):
+        tin = np.zeros((t + 1,), np.int32)
+        tout = np.zeros((t + 1,), np.int32)
+        ids = ids[:t]
+        tin[0] = self.start
+        tin[1: len(ids) + 1] = ids
+        tout[: len(ids)] = ids
+        tout[len(ids)] = self.eos
+        return tin, tout
+
+    def batch(self, bs: int):
+        t = self.t
+        out = {"lyric_src": np.zeros((bs, t), np.int32),
+               "note_src": np.zeros((bs, t), np.int32),
+               "note_in": np.zeros((bs, t + 1), np.int32),
+               "note_out": np.zeros((bs, t + 1), np.int32),
+               "dur_in": np.zeros((bs, t + 1), np.int32),
+               "dur_out": np.zeros((bs, t + 1), np.int32)}
+        picks = self.rng.choice(len(self.pairs), bs)
+        for i, p in enumerate(picks):
+            text, notes, durs = self.pairs[p][:3]
+            lids = self.lyric_lang.encode(list(text))[:t]
+            nids = self.note_lang.encode(notes)[:t]
+            # snap to the duration vocabulary's 2-centisecond grid
+            # (default_langs: "0.1000".."1.0000" step 0.02)
+            dids = self.dur_lang.encode(
+                [f"{np.clip(round(float(d) * 50) / 50, 0.1, 1.0):.4f}"
+                 for d in durs])[:t]
+            out["lyric_src"][i, : len(lids)] = lids
+            out["note_src"][i, : len(nids)] = nids
+            out["note_in"][i], out["note_out"][i] = self._tgt(nids, t)
+            out["dur_in"][i], out["dur_out"][i] = self._tgt(dids, t)
+        return out
+
+
 class _LyricBatcher:
     def __init__(self, lines, tokenizer, t_len: int = 48, seed: int = 0,
                  keywords=None):
@@ -214,6 +267,27 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
     from . import seq_losses
 
     key = jax.random.PRNGKey(seed)
+    if family == "seq2seq":
+        # the melody_v2 RNN family: three models trained jointly with the
+        # serving vocabularies so checkpoints drop into the generator
+        from ..models.melody.seq2seq import Seq2SeqConfig
+        from ..models.melody.seq2seq_api import (Seq2SeqMelodyGenerator,
+                                                 default_langs)
+        langs = default_langs()
+        cfg = (Seq2SeqConfig(en_embedding_dim=32, de_embedding_dim=32,
+                             hidden_dim=32)
+               if tiny else Seq2SeqConfig())
+        gen = Seq2SeqMelodyGenerator(*langs, cfg=cfg, seed=seed)
+        models = {"lyric2note": gen.lyric2note[0],
+                  "lyric2duration": gen.lyric2duration[0],
+                  "note2duration": gen.note2duration[0]}
+        params = {"lyric2note": gen.lyric2note[1],
+                  "lyric2duration": gen.lyric2duration[1],
+                  "note2duration": gen.note2duration[1]}
+        pairs = (_melody_pairs_from_transcriptions(data) if data
+                 else _toy_melody_pairs(seed=seed))
+        batcher = _Seq2SeqBatcher(pairs, langs, seed=seed)
+        return models, params, seq_losses.seq2seq_family_loss, batcher
     if family in ("melody_note", "melody_note_prev", "duration_mse",
                   "duration_sdp"):
         chars = sorted(load_lexicon().monosyllable.keys())
@@ -357,7 +431,7 @@ def train_family(family: str, steps: int = 100, batch_size: int = 16,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--family", required=True,
-                   choices=["melody_note", "melody_note_prev",
+                   choices=["melody_note", "melody_note_prev", "seq2seq",
                             "duration_mse", "duration_sdp",
                             "gpt2", "t5", "all"])
     p.add_argument("--steps", type=int, default=100)
@@ -371,8 +445,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    families = (["melody_note", "melody_note_prev", "duration_mse",
-                 "duration_sdp", "gpt2", "t5"]
+    families = (["melody_note", "melody_note_prev", "seq2seq",
+                 "duration_mse", "duration_sdp", "gpt2", "t5"]
                 if args.family == "all" else [args.family])
     writer = None
     if args.ckpt_dir:

@@ -76,3 +76,13 @@ def test_melody_note_prev_trains():
     losses = train_family("melody_note_prev", steps=30, batch_size=16,
                           tiny=True, log_every=30)
     assert losses[-1] < losses[0]
+
+
+def test_seq2seq_family_trains():
+    """The melody_v2 RNN family (lyric2note + lyric2duration +
+    note2duration) trains jointly to falling loss with the serving
+    vocabularies and decode conventions."""
+    from music_generation_tpu.train.seq import train_family
+    losses = train_family("seq2seq", steps=25, batch_size=8,
+                          tiny=True, log_every=25)
+    assert losses[-1] < losses[0]
