@@ -179,9 +179,18 @@ class TeleMelodyGenerator:
         self.rhythm_dict = rhythm_vocab()
         self.trend_dict = trend_vocab()
         self.notes_dict = notes_vocab()
+        # char-level lyric vocab (deterministic; the reference's fairseq
+        # dict.lyric.txt is a learned ~8k BPE vocab — absent from the
+        # snapshot, so the full monosyllable charset stands in)
+        from ...frontend import load_lexicon
+        self.lyric_dict = MelodyDictionary(
+            (SEP, WORD) + tuple(sorted(load_lexicon().monosyllable.keys())))
         base = cfg or MelodyConfig()
+        # src_vocab MUST cover the lyric dictionary: ids beyond the
+        # embedding table index out of bounds (silently clamped at
+        # inference, NaN under training gradients)
         self.l2r_cfg = MelodyConfig(**{**base.__dict__,
-                                       "src_vocab": 8000,
+                                       "src_vocab": self.lyric_dict.size,
                                        "tgt_vocab": self.rhythm_dict.size})
         self.t2m_cfg = MelodyConfig(**{**base.__dict__,
                                        "src_vocab": self.trend_dict.size,
@@ -197,10 +206,6 @@ class TeleMelodyGenerator:
         self.t2m_params = self.trend2melody.init(k2, dummy, dummy[:, :4],
                                                  dmask, causal_mask(4))
         self._rng = jax.random.PRNGKey(seed + 1)
-        # char-level lyric vocab (deterministic)
-        from ...frontend import load_lexicon
-        self.lyric_dict = MelodyDictionary(
-            (SEP, WORD) + tuple(sorted(load_lexicon().monosyllable.keys())))
 
     def _sample(self, model, params, src_ids: list[int], max_len: int,
                 top_k: int, temperature: float, min_len: int) -> list[int]:

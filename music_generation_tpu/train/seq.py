@@ -17,6 +17,8 @@ Families:
                 memory (the serving path for sentences after the first)
   seq2seq       the melody_v2 RNN family: lyric2note + lyric2duration +
                 note2duration trained jointly (Melody/seq2seq)
+  telemelody    the v1 twin transformers: lyric2rhythm + trend2melody
+                trained jointly (Melody/telemelody)
   duration_mse  log-duration regression (MSE/mse_inference.py head)
   duration_sdp  stochastic-duration-predictor flow NLL
                 (transformer_melody/Lyric2Duration)
@@ -227,6 +229,67 @@ class _Seq2SeqBatcher:
         return out
 
 
+class _TeleMelodyBatcher:
+    """Synthetic token-stream batches for TeleMelody's twin transformers.
+
+    Layouts mirror the sampler (telemelody.py _sample): encoder input is
+    `ids + [EOS]`, decoding starts at BOS and ends at EOS. Targets are
+    deterministic functions of the inputs so both models train to falling
+    loss: rhythm digit = hash(char) % 4; melody pitch/pos derive from the
+    trend triplet's chord and beat tokens.
+    """
+
+    def __init__(self, gen, t_len: int = 24, seed: int = 0):
+        from ..models.melody.telemelody import SEP
+        self.gen = gen
+        self.t = t_len
+        self.sep = SEP
+        self.rng = np.random.RandomState(seed)
+        from .toydata import _SYL_TEXT
+        self.chars = list(_SYL_TEXT.values())
+        trend = gen.trend_dict
+        self.chords = [e for e in trend.entries if e.startswith("Chord_")]
+
+    def _frame(self, vocab, src_tokens, tgt_tokens, srcs, ins, outs, i):
+        from ..models.melody.vocab import BOS_ID, EOS_ID
+        t = self.t
+        sids = (vocab[0].encode(src_tokens) + [EOS_ID])[:t]
+        tids = vocab[1].encode(tgt_tokens)[: t - 1]
+        srcs[i, : len(sids)] = sids
+        ins[i, 0] = BOS_ID
+        ins[i, 1: len(tids) + 1] = tids
+        outs[i, : len(tids)] = tids
+        outs[i, len(tids)] = EOS_ID
+
+    def batch(self, bs: int):
+        t = self.t
+        g = self.gen
+        out = {k: np.zeros((bs, t + (0 if k.endswith("_src") else 1)),
+                           np.int32)
+               for k in ("lyric2rhythm_src", "lyric2rhythm_in",
+                         "lyric2rhythm_out", "trend2melody_src",
+                         "trend2melody_in", "trend2melody_out")}
+        for i in range(bs):
+            n = self.rng.randint(4, 8)
+            chars = [str(self.rng.choice(self.chars)) for _ in range(n)]
+            rhythm = [str(hash(c) % 4) for c in chars]
+            self._frame((g.lyric_dict, g.rhythm_dict),
+                        chars + [self.sep], rhythm + [self.sep],
+                        out["lyric2rhythm_src"], out["lyric2rhythm_in"],
+                        out["lyric2rhythm_out"], i)
+            trend, notes = [], []
+            for k in range(n):
+                chord = str(self.rng.choice(self.chords))
+                beat = int(self.rng.randint(4))
+                trend += [chord, "NOT", f"BEAT_{beat}"]
+                notes += [f"Bar_{k // 4}", f"Pos_{beat * 4}",
+                          f"Pitch_{60 + hash(chord) % 12}", "Dur_4"]
+            self._frame((g.trend_dict, g.notes_dict), trend, notes,
+                        out["trend2melody_src"], out["trend2melody_in"],
+                        out["trend2melody_out"], i)
+        return out
+
+
 class _LyricBatcher:
     def __init__(self, lines, tokenizer, t_len: int = 48, seed: int = 0,
                  keywords=None):
@@ -288,6 +351,18 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
                  else _toy_melody_pairs(seed=seed))
         batcher = _Seq2SeqBatcher(pairs, langs, seed=seed)
         return models, params, seq_losses.seq2seq_family_loss, batcher
+    if family == "telemelody":
+        from ..models.melody import MelodyConfig
+        from ..models.melody.telemelody import TeleMelodyGenerator
+        cfg = (MelodyConfig(n_layers=1, d_model=32, d_ff=64, n_heads=2)
+               if tiny else MelodyConfig())
+        gen = TeleMelodyGenerator(cfg=cfg, seed=seed)
+        models = {"lyric2rhythm": gen.lyric2rhythm,
+                  "trend2melody": gen.trend2melody}
+        params = {"lyric2rhythm": gen.l2r_params,
+                  "trend2melody": gen.t2m_params}
+        batcher = _TeleMelodyBatcher(gen, seed=seed)
+        return models, params, seq_losses.telemelody_family_loss, batcher
     if family in ("melody_note", "melody_note_prev", "duration_mse",
                   "duration_sdp"):
         chars = sorted(load_lexicon().monosyllable.keys())
@@ -432,7 +507,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--family", required=True,
                    choices=["melody_note", "melody_note_prev", "seq2seq",
-                            "duration_mse", "duration_sdp",
+                            "telemelody", "duration_mse", "duration_sdp",
                             "gpt2", "t5", "all"])
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=16)
@@ -446,7 +521,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     families = (["melody_note", "melody_note_prev", "seq2seq",
-                 "duration_mse", "duration_sdp", "gpt2", "t5"]
+                 "telemelody", "duration_mse", "duration_sdp", "gpt2", "t5"]
                 if args.family == "all" else [args.family])
     writer = None
     if args.ckpt_dir:

@@ -128,6 +128,26 @@ def seq2seq_family_loss(models, params, batch, dropout_rng):
     return total
 
 
+def telemelody_family_loss(models, params, batch, dropout_rng):
+    """Joint CE over TeleMelody's twin transformers (lyric2rhythm +
+    trend2melody, Melody/telemelody). Sources carry the trailing EOS the
+    sampler feeds (telemelody.py _sample: src_ids + [EOS])."""
+    from ..models.melody.transformer import causal_mask
+    total = 0.0
+    r1, r2 = jax.random.split(dropout_rng)
+    for name, rng in (("lyric2rhythm", r1), ("trend2melody", r2)):
+        src = batch[f"{name}_src"]
+        tgt_in = batch[f"{name}_in"]
+        src_attn = (src != 0)[:, None, None, :].astype(jnp.int32)
+        logits = models[name].apply(
+            params[name], src, tgt_in, src_attn,
+            causal_mask(tgt_in.shape[1]), deterministic=False,
+            rngs={"dropout": rng})
+        total = total + cross_entropy(logits, batch[f"{name}_out"],
+                                      label_smoothing=0.1)
+    return total
+
+
 def make_seq_train_step(loss_fn, model, optimizer):
     """Generic optax train step factory for the sequence models."""
 

@@ -86,3 +86,12 @@ def test_seq2seq_family_trains():
     losses = train_family("seq2seq", steps=25, batch_size=8,
                           tiny=True, log_every=25)
     assert losses[-1] < losses[0]
+
+
+def test_telemelody_family_trains():
+    """TeleMelody's twin transformers (lyric2rhythm + trend2melody) train
+    jointly to falling loss with the sampler's token framing."""
+    from music_generation_tpu.train.seq import train_family
+    losses = train_family("telemelody", steps=25, batch_size=8,
+                          tiny=True, log_every=25)
+    assert losses[-1] < losses[0]
