@@ -168,12 +168,20 @@ class Seq2SeqModel(nn.Module):
         return self.decoder.init_state(encoder_hidden)
 
     def __call__(self, src_ids, tgt_ids):
-        """Teacher-forced training forward -> logprobs [B, T_tgt, V]."""
-        enc_out, enc_hidden = self.encoder(src_ids)
+        """Teacher-forced training forward -> logprobs [B, T_tgt, V].
+
+        Uses the SAME length-masked encode + enc_mask the jitted beam decode
+        applies at serving time (beam_decode below) — the one shared
+        teacher-forced forward, so training can't skew from inference."""
+        lengths = jnp.maximum((src_ids != PAD_ID).sum(axis=1), 1)
+        enc_out, enc_hidden = self.encoder(src_ids, lengths)
+        enc_mask = (jnp.arange(src_ids.shape[1])[None, :]
+                    < lengths[:, None]).astype(jnp.int32)
         state = self.decoder.init_state(enc_hidden)
         outs = []
         for t in range(tgt_ids.shape[1]):
-            lp, state = self.decoder.step(tgt_ids[:, t], enc_out, state)
+            lp, state = self.decoder.step(tgt_ids[:, t], enc_out, state,
+                                          enc_mask)
             outs.append(lp)
         return jnp.stack(outs, axis=1)
 

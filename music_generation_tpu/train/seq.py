@@ -37,8 +37,16 @@ from __future__ import annotations
 import argparse
 import os
 import time
+import zlib
 
 import numpy as np
+
+
+def _stable_hash(s: str) -> int:
+    """Process-stable hash for synthetic target mappings. Python's built-in
+    hash() is salted per process (PYTHONHASHSEED), which would remap every
+    toy target on restart and break --resume / cross-process eval."""
+    return zlib.crc32(s.encode("utf-8"))
 
 
 # --------------------------------------------------------------------------
@@ -89,8 +97,9 @@ def _toy_melody_pairs(n: int = 64, syllables: int = 6, seed: int = 0):
         syls = [str(rng.choice(_TOY_SYLLABLES)) for _ in range(syllables)]
         text = "".join(_SYL_TEXT[s] for s in syls)
         # deterministic char->note mapping => learnable
-        notes = [_TOY_NOTES[hash(ch) % len(_TOY_NOTES)] for ch in text]
-        durs = [0.25 + 0.05 * (hash(ch) % 5) for ch in text]
+        notes = [_TOY_NOTES[_stable_hash(ch) % len(_TOY_NOTES)]
+                 for ch in text]
+        durs = [0.25 + 0.05 * (_stable_hash(ch) % 5) for ch in text]
         pairs.append((text, notes, durs))
     return pairs
 
@@ -107,9 +116,10 @@ def _toy_melody_pairs_prev(n: int = 64, syllables: int = 6, seed: int = 0):
         syls2 = [str(rng.choice(_TOY_SYLLABLES)) for _ in range(syllables)]
         text1 = "".join(_SYL_TEXT[s] for s in syls1)
         text2 = "".join(_SYL_TEXT[s] for s in syls2)
-        notes1 = [_TOY_NOTES[hash(ch) % len(_TOY_NOTES)] for ch in text1]
+        notes1 = [_TOY_NOTES[_stable_hash(ch) % len(_TOY_NOTES)]
+                  for ch in text1]
         shift = _TOY_NOTES.index(notes1[-1])
-        notes2 = [_TOY_NOTES[(hash(ch) + shift) % len(_TOY_NOTES)]
+        notes2 = [_TOY_NOTES[(_stable_hash(ch) + shift) % len(_TOY_NOTES)]
                   for ch in text2]
         durs = [0.3] * syllables
         pairs.append((text2, notes2, durs, notes1))
@@ -193,6 +203,17 @@ class _Seq2SeqBatcher:
         self.t = t_len
         self.start, self.eos = START_ID, EOS_ID
         self.rng = np.random.RandomState(seed)
+        # duration grid derived from the vocabulary itself (snapping against
+        # hardcoded constants would silently map everything to _UNK_ if the
+        # lang ever changed)
+        self._dur_values = np.asarray(
+            sorted(float(e) for e in self.dur_lang.item2index
+                   if e.replace(".", "").isdigit()))
+        self._dur_tokens = [f"{v:.4f}" for v in self._dur_values]
+
+    def _snap_duration(self, d: float) -> str:
+        i = int(np.argmin(np.abs(self._dur_values - float(d))))
+        return self._dur_tokens[i]
 
     def _tgt(self, ids, t):
         tin = np.zeros((t + 1,), np.int32)
@@ -215,15 +236,16 @@ class _Seq2SeqBatcher:
         picks = self.rng.choice(len(self.pairs), bs)
         for i, p in enumerate(picks):
             text, notes, durs = self.pairs[p][:3]
-            lids = self.lyric_lang.encode(list(text))[:t]
+            # serving appends EOS to every encoder source
+            # (seq2seq_api._decode: ids[:n_pad-1] + [EOS_ID]) — match it so
+            # the EOS embedding/attention position is trained
+            lids = (self.lyric_lang.encode(list(text)) + [self.eos])[:t]
+            nids_src = (self.note_lang.encode(notes) + [self.eos])[:t]
             nids = self.note_lang.encode(notes)[:t]
-            # snap to the duration vocabulary's 2-centisecond grid
-            # (default_langs: "0.1000".."1.0000" step 0.02)
             dids = self.dur_lang.encode(
-                [f"{np.clip(round(float(d) * 50) / 50, 0.1, 1.0):.4f}"
-                 for d in durs])[:t]
+                [self._snap_duration(d) for d in durs])[:t]
             out["lyric_src"][i, : len(lids)] = lids
-            out["note_src"][i, : len(nids)] = nids
+            out["note_src"][i, : len(nids_src)] = nids_src
             out["note_in"][i], out["note_out"][i] = self._tgt(nids, t)
             out["dur_in"][i], out["dur_out"][i] = self._tgt(dids, t)
         return out
@@ -232,11 +254,11 @@ class _Seq2SeqBatcher:
 class _TeleMelodyBatcher:
     """Synthetic token-stream batches for TeleMelody's twin transformers.
 
-    Layouts mirror the sampler (telemelody.py _sample): encoder input is
-    `ids + [EOS]`, decoding starts at BOS and ends at EOS. Targets are
-    deterministic functions of the inputs so both models train to falling
-    loss: rhythm digit = hash(char) % 4; melody pitch/pos derive from the
-    trend triplet's chord and beat tokens.
+    Layouts mirror the sampler (telemelody.py _sample + generate_melody):
+    encoder input is `ids + [EOS]`, decoding starts at BOS and ends at EOS,
+    and trend streams carry the leading MAJ token plus NOT/HALF/AUT section
+    enders the serving path emits. Targets are deterministic (stable-hash)
+    functions of the inputs so both models train to falling loss.
     """
 
     def __init__(self, gen, t_len: int = 24, seed: int = 0):
@@ -272,18 +294,22 @@ class _TeleMelodyBatcher:
         for i in range(bs):
             n = self.rng.randint(4, 8)
             chars = [str(self.rng.choice(self.chars)) for _ in range(n)]
-            rhythm = [str(hash(c) % 4) for c in chars]
+            rhythm = [str(_stable_hash(c) % 4) for c in chars]
             self._frame((g.lyric_dict, g.rhythm_dict),
                         chars + [self.sep], rhythm + [self.sep],
                         out["lyric2rhythm_src"], out["lyric2rhythm_in"],
                         out["lyric2rhythm_out"], i)
-            trend, notes = [], []
+            # generate_melody emits ["MAJ"] + per-note
+            # [Chord_x, NOT|HALF|AUT, BEAT_n] (telemelody.py); cover all
+            # three section-ender tokens so none is out-of-distribution
+            trend, notes = ["MAJ"], []
             for k in range(n):
                 chord = str(self.rng.choice(self.chords))
                 beat = int(self.rng.randint(4))
-                trend += [chord, "NOT", f"BEAT_{beat}"]
+                ender = str(self.rng.choice(["NOT", "HALF", "AUT"]))
+                trend += [chord, ender, f"BEAT_{beat}"]
                 notes += [f"Bar_{k // 4}", f"Pos_{beat * 4}",
-                          f"Pitch_{60 + hash(chord) % 12}", "Dur_4"]
+                          f"Pitch_{60 + _stable_hash(chord) % 12}", "Dur_4"]
             self._frame((g.trend_dict, g.notes_dict), trend, notes,
                         out["trend2melody_src"], out["trend2melody_in"],
                         out["trend2melody_out"], i)
@@ -352,6 +378,15 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
         batcher = _Seq2SeqBatcher(pairs, langs, seed=seed)
         return models, params, seq_losses.seq2seq_family_loss, batcher
     if family == "telemelody":
+        if data:
+            # the twin transformers consume rhythm/trend token streams, not
+            # the SVS transcription format — fail loudly rather than
+            # silently training on synthetic targets while the user's
+            # dataset is ignored
+            raise ValueError(
+                "--data is not supported for the telemelody family (it "
+                "trains on synthetic rhythm/trend token streams); omit "
+                "--data or train the other melody families with it")
         from ..models.melody import MelodyConfig
         from ..models.melody.telemelody import TeleMelodyGenerator
         cfg = (MelodyConfig(n_layers=1, d_model=32, d_ff=64, n_heads=2)
@@ -528,9 +563,12 @@ def main(argv=None):
         from .metrics import MetricsWriter
         writer = MetricsWriter(os.path.join(args.ckpt_dir, "logs"))
     for fam in families:
+        # telemelody trains on synthetic token streams only; in `all` mode
+        # just skip the dataset for it instead of erroring the whole sweep
+        fam_data = None if fam == "telemelody" else args.data
         losses = train_family(
             fam, steps=args.steps, batch_size=args.batch_size, lr=args.lr,
-            tiny=args.tiny, data=args.data, ckpt_dir=args.ckpt_dir,
+            tiny=args.tiny, data=fam_data, ckpt_dir=args.ckpt_dir,
             resume=args.resume, log_every=args.log_every, seed=args.seed,
             metrics_writer=writer)
         print(f"[{fam}] first {losses[0]:.4f} -> last {losses[-1]:.4f}")

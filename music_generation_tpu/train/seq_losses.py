@@ -93,37 +93,17 @@ def t5_loss(model, params, batch, dropout_rng=None):
     return cross_entropy(logits, tgt, pad_id=0)
 
 
-def _seq2seq_teacher_forced(model, params, src, tgt_in):
-    """Teacher-forced log-probs using the SAME conventions the jitted beam
-    decode applies at serving time (seq2seq.beam_decode: length-masked
-    encode, enc_mask into every attention step) — train/infer skew here
-    would silently degrade free-running decode."""
-    from ..models.melody.seq2seq import Seq2SeqModel
-    lengths = jnp.maximum((src != 0).sum(axis=1), 1)
-    enc_out, enc_hidden = model.apply(params, src, lengths,
-                                      method=Seq2SeqModel.encode)
-    enc_mask = (jnp.arange(src.shape[1])[None, :]
-                < lengths[:, None]).astype(jnp.int32)
-    state = model.apply(params, enc_hidden,
-                        method=Seq2SeqModel.init_decoder_state)
-    outs = []
-    for t in range(tgt_in.shape[1]):
-        lp, state = model.apply(params, tgt_in[:, t], enc_out, state,
-                                enc_mask, method=Seq2SeqModel.decode_step)
-        outs.append(lp)
-    return jnp.stack(outs, axis=1)
-
-
 def seq2seq_family_loss(models, params, batch, dropout_rng):
     """Joint CE over the three RNN models of the melody_v2 family
-    (lyric2note, lyric2duration, note2duration — Melody/seq2seq)."""
+    (lyric2note, lyric2duration, note2duration — Melody/seq2seq).
+    Seq2SeqModel.__call__ is the shared length-masked teacher-forced
+    forward, identical in conventions to the serving beam decode."""
     wiring = (("lyric2note", "lyric_src", "note_in", "note_out"),
               ("lyric2duration", "lyric_src", "dur_in", "dur_out"),
               ("note2duration", "note_src", "dur_in", "dur_out"))
     total = 0.0
     for name, s, ti, to in wiring:
-        lp = _seq2seq_teacher_forced(models[name], params[name],
-                                     batch[s], batch[ti])
+        lp = models[name].apply(params[name], batch[s], batch[ti])
         total = total + cross_entropy(lp, batch[to])
     return total
 

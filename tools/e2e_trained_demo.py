@@ -146,7 +146,9 @@ def main(argv=None):
     }
 
     # ---- 4. e2e probe: served notes match the ground-truth mapping ----
-    truth = [_TOY_NOTES[hash(ch) % len(_TOY_NOTES)] for ch in demo_text]
+    from music_generation_tpu.train.seq import _stable_hash
+    truth = [_TOY_NOTES[_stable_hash(ch) % len(_TOY_NOTES)]
+             for ch in demo_text]
     truth_midi = [note_to_midi(n) for n in truth]
     served = [int(note_to_midi(n)) if n != "rest" else -1
               for n in result.notes[0]]
