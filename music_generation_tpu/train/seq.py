@@ -239,8 +239,10 @@ class _Seq2SeqBatcher:
             # serving appends EOS to every encoder source
             # (seq2seq_api._decode: ids[:n_pad-1] + [EOS_ID]) — match it so
             # the EOS embedding/attention position is trained
-            lids = (self.lyric_lang.encode(list(text)) + [self.eos])[:t]
-            nids_src = (self.note_lang.encode(notes) + [self.eos])[:t]
+            # truncate BEFORE appending EOS (serving keeps the EOS even on
+            # max-length inputs: seq2seq_api ids[:n_pad-1] + [EOS])
+            lids = self.lyric_lang.encode(list(text))[: t - 1] + [self.eos]
+            nids_src = self.note_lang.encode(notes)[: t - 1] + [self.eos]
             nids = self.note_lang.encode(notes)[:t]
             dids = self.dur_lang.encode(
                 [self._snap_duration(d) for d in durs])[:t]
