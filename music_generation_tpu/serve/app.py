@@ -285,7 +285,7 @@ def main(argv=None):
     parser.add_argument("--tiny", action="store_true",
                         help="random tiny models (smoke testing)")
     parser.add_argument("--variant", default="svs_v6_multispeaker",
-                        choices=["v1", "melody_v2", "svs_v5",
+                        choices=["v1", "v1_model", "melody_v2", "svs_v5",
                                  "svs_v5_multispeaker", "svs_v6_multispeaker"],
                         help="reference server variant preset")
     parser.add_argument("--lyric-model", default="t5", choices=["t5", "gpt2"])
