@@ -112,6 +112,37 @@ def main(argv=None):
         "heldout_accuracy_shuffled_prev": round(acc_shuf, 4),
     }
 
+    # ---- 1c. seq2seq RNN family (melody_v2): train -> serve decode ----
+    s2s_losses, s2s_params = train_family(
+        "seq2seq", steps=args.steps, batch_size=32, tiny=True,
+        log_every=max(args.steps // 4, 1), return_params=True)
+    from music_generation_tpu.models.melody.seq2seq import Seq2SeqConfig
+    from music_generation_tpu.models.melody.seq2seq_api import (
+        Seq2SeqMelodyGenerator, default_langs)
+    from music_generation_tpu.train.seq import _stable_hash
+    s2s = Seq2SeqMelodyGenerator(
+        *default_langs(),
+        cfg=Seq2SeqConfig(en_embedding_dim=32, de_embedding_dim=32,
+                          hidden_dim=32))
+    s2s.lyric2note = (s2s.lyric2note[0], s2s_params["lyric2note"])
+    s2s.lyric2duration = (s2s.lyric2duration[0],
+                          s2s_params["lyric2duration"])
+    s2s.note2duration = (s2s.note2duration[0], s2s_params["note2duration"])
+    from music_generation_tpu.train.toydata import _TOY_NOTES as _TN
+    s2s_text = "你好世界天地"
+    _lyr, s2s_notes, _durs = s2s.get_melody(s2s_text)
+    # get_melody inserts SP/AP breath 'rest' notes at seeded-random
+    # positions (reference parity) — drop them so positions align with the
+    # per-char truth mapping
+    s2s_sung = [x for x in s2s_notes if x != "rest"]
+    s2s_truth = [_TN[_stable_hash(ch) % len(_TN)] for ch in s2s_text]
+    n = min(len(s2s_truth), len(s2s_sung))
+    s2s_acc = float(np.mean([s2s_sung[i] == s2s_truth[i]
+                             for i in range(n)])) if n else 0.0
+    report["seq2seq"] = {"first_loss": round(s2s_losses[0], 4),
+                         "final_loss": round(s2s_losses[-1], 4),
+                         "served_note_accuracy": round(s2s_acc, 4)}
+
     # ---- 2. duration head ----
     dur_losses, dur_params = train_family(
         "duration_mse", steps=args.steps, batch_size=32, tiny=True,
