@@ -379,8 +379,18 @@ class VISinger(nn.Module):
 
     def __call__(self, phones, x_lengths, spec, y_lengths, note_ids,
                  note_durations, f0_score, phone_durations, shengdiao,
-                 deterministic: bool = False):
-        """Training forward (parity: models_ae.py forward)."""
+                 deterministic: bool = False, use_mas: bool = False):
+        """Training forward (parity: models_ae.py forward).
+
+        use_mas=True replaces the ground-truth ``phone_durations`` with
+        monotonic-alignment-search targets computed inside the step (the
+        commented-out VITS path at VISinger/models.py:590-604): the
+        token-level prior — text_post_net applied to the UN-regulated text
+        encoding, sharing the frame-level parameters — is aligned against
+        the posterior sample z_p, and the per-token frame counts feed the
+        LengthRegulator and the duration loss. Enables training corpora
+        without phone-duration annotations.
+        """
         c = self.cfg
         x_mask = feature_mask(x_lengths, phones.shape[1])
         h_text = self.text_encoder(phones, note_ids, note_durations, shengdiao,
@@ -389,12 +399,20 @@ class VISinger(nn.Module):
             h_text, x_mask, deterministic=deterministic)
 
         max_frames = spec.shape[1]
-        h_lr, _ = expand_by_durations(h_text, phone_durations, max_frames)
         y_mask = feature_mask(y_lengths, max_frames)
-
         z, m_q, logs_q, _ = self.spec_encoder(spec, y_mask,
                                               deterministic=deterministic)
         z_p = self.spec_flow(z, y_mask)
+
+        if use_mas:
+            from ...ops import mas_duration_targets
+            m_tok, logs_tok, _, _ = self.text_post_net(
+                h_text, x_mask, deterministic=deterministic)
+            phone_durations = mas_duration_targets(
+                jax.lax.stop_gradient(z_p), jax.lax.stop_gradient(m_tok),
+                jax.lax.stop_gradient(logs_tok), x_mask, y_mask)
+
+        h_lr, _ = expand_by_durations(h_text, phone_durations, max_frames)
 
         m_p, logs_p, log_f0, mel_predict = self.text_post_net(
             h_lr, y_mask, f0_score=f0_score, deterministic=deterministic)
@@ -419,6 +437,10 @@ class VISinger(nn.Module):
         return {
             "audio": audio,
             "duration_fraction": duration_fraction,
+            # the durations that actually drove the LengthRegulator (= the
+            # batch's ground truth, or the in-step MAS targets): the duration
+            # loss trains the predictor against these
+            "duration_targets": phone_durations,
             "ids_slice": ids_slice,
             "x_mask": x_mask,
             "y_mask": y_mask,

@@ -178,15 +178,53 @@ def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
     return path[:, :t_y0, :t_x0] * mask
 
 
+def _auto_platform() -> str:
+    """Effective platform for dispatch: the pinned jax_default_device wins
+    over default_backend (in this environment the TPU plugin registers even
+    when tests pin computation to CPU — CLAUDE.md; a Pallas TPU kernel would
+    then fail at lowering, after the dispatch's try block)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def maximum_path(neg_cent, mask, backend: str = "auto"):
     """Dispatch: pallas on TPU, lax elsewhere."""
     if backend == "pallas" or (backend == "auto" and
-                               jax.default_backend() not in ("cpu",)):
+                               _auto_platform() not in ("cpu",)):
         try:
             return maximum_path_pallas(neg_cent, mask)
         except Exception:
             pass
     return maximum_path_jax(neg_cent, mask)
+
+
+def mas_duration_targets(z_p, m_p, logs_p, x_mask, y_mask,
+                         logs_clamp: float = 7.0):
+    """Monotonic-alignment-search duration targets (frames per phone).
+
+    The VITS negative cross-entropy alignment score (the commented-out
+    training path at VISinger/models.py:590-604), fed to maximum_path; use
+    when the dataset has no ground-truth phone durations. All inputs
+    channels-last: z_p [B,F,C] (posterior sample through the flow),
+    m_p/logs_p [B,T,C] (token-level prior BEFORE length regulation),
+    masks [B,F,1]/[B,T,1]. Returns int32 durations [B, T].
+    """
+    import math as _math
+
+    logs_p = jnp.clip(logs_p, -logs_clamp, logs_clamp)
+    s_p_sq_r = jnp.exp(-2.0 * logs_p)                          # [B,T,C]
+    neg_cent1 = jnp.sum(-0.5 * _math.log(2 * _math.pi) - logs_p,
+                        axis=-1)[:, None, :]                    # [B,1,T]
+    neg_cent2 = jnp.einsum("bfc,btc->bft", -0.5 * z_p ** 2, s_p_sq_r)
+    neg_cent3 = jnp.einsum("bfc,btc->bft", z_p, m_p * s_p_sq_r)
+    neg_cent4 = jnp.sum(-0.5 * (m_p ** 2) * s_p_sq_r, axis=-1)[:, None, :]
+    neg_cent = neg_cent1 + neg_cent2 + neg_cent3 + neg_cent4    # [B,F,T]
+
+    attn_mask = y_mask[:, :, 0][:, :, None] * x_mask[:, :, 0][:, None, :]
+    path = maximum_path(jax.lax.stop_gradient(neg_cent), attn_mask)
+    return jnp.sum(path, axis=1).astype(jnp.int32)              # [B, T]
 
 
 def maximum_path_numpy(neg_cent: np.ndarray, mask: np.ndarray) -> np.ndarray:

@@ -41,6 +41,17 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute with fp32 master params (parity: "
                         "fp16_run in VISinger/configs/ours.json)")
+    p.add_argument("--durations", default="dataset",
+                   choices=["dataset", "mas"],
+                   help="phone-duration source for the LengthRegulator: the "
+                        "dataset's annotations, or in-step monotonic "
+                        "alignment search (VISinger/models.py:590-604; "
+                        "Pallas maximum_path on TPU) for corpora without "
+                        "duration labels")
+    p.add_argument("--disc-lr-scale", type=float, default=1.0,
+                   help="discriminator LR multiplier (GAN balance knob)")
+    p.add_argument("--c-kl-rev", type=float, default=None,
+                   help="reverse-KL weight (default TrainConfig.c_kl_rev)")
     p.add_argument("--decoder", default="hifigan",
                    choices=["hifigan", "istft", "mb_istft"],
                    help="vocoder decoder family (istft variants trade the "
@@ -86,7 +97,11 @@ def main(argv=None):
             svs_cfg = _dc.replace(svs_cfg, decoder_type=args.decoder)
 
     tcfg = TrainConfig(accumulate_grad_batches=args.accumulate_grad_batches,
-                       bf16_run=args.bf16)
+                       bf16_run=args.bf16, use_mas=args.durations == "mas",
+                       disc_lr_scale=args.disc_lr_scale)
+    if args.c_kl_rev is not None:
+        import dataclasses as _dc
+        tcfg = _dc.replace(tcfg, c_kl_rev=args.c_kl_rev)
     n_dev = len(jax.devices())
     n_model = args.n_model
     n_data = max(n_dev // n_model, 1)

@@ -81,28 +81,8 @@ def discriminator_adv_loss(disc_real_outputs, disc_gen_outputs):
 
 
 def mas_duration_targets(z_p, m_p, logs_p, x_mask, y_mask):
-    """Monotonic-alignment-search duration targets (frames per phone).
-
-    The VITS negative cross-entropy alignment score
-    (the commented-out training path at VISinger/models.py:590-604), fed to
-    ops.monotonic_align.maximum_path; use when the dataset has no
-    ground-truth phone durations. All inputs channels-last:
-    z_p [B,F,C] (posterior sample through the flow), m_p/logs_p [B,T,C]
-    (token-level prior BEFORE length regulation), masks [B,F,1]/[B,T,1].
-    Returns int32 durations [B, T].
-    """
-    import math as _math
-    from ..ops import maximum_path
-
-    logs_p = jnp.clip(logs_p, -LOGS_CLAMP, LOGS_CLAMP)
-    s_p_sq_r = jnp.exp(-2.0 * logs_p)                          # [B,T,C]
-    neg_cent1 = jnp.sum(-0.5 * _math.log(2 * _math.pi) - logs_p,
-                        axis=-1)[:, None, :]                    # [B,1,T]
-    neg_cent2 = jnp.einsum("bfc,btc->bft", -0.5 * z_p ** 2, s_p_sq_r)
-    neg_cent3 = jnp.einsum("bfc,btc->bft", z_p, m_p * s_p_sq_r)
-    neg_cent4 = jnp.sum(-0.5 * (m_p ** 2) * s_p_sq_r, axis=-1)[:, None, :]
-    neg_cent = neg_cent1 + neg_cent2 + neg_cent3 + neg_cent4    # [B,F,T]
-
-    attn_mask = y_mask[:, :, 0][:, :, None] * x_mask[:, :, 0][:, None, :]
-    path = maximum_path(jax.lax.stop_gradient(neg_cent), attn_mask)
-    return jnp.sum(path, axis=1).astype(jnp.int32)              # [B, T]
+    """MAS duration targets (frames per phone); see ops.mas_duration_targets.
+    Kept here as a re-export — the model's training forward calls the ops
+    version directly (models/svs/visinger.py __call__ use_mas=True)."""
+    from ..ops import mas_duration_targets as _mas
+    return _mas(z_p, m_p, logs_p, x_mask, y_mask, logs_clamp=LOGS_CLAMP)

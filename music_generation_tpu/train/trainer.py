@@ -39,6 +39,14 @@ class TrainConfig:
     steps_per_epoch: int = 1
     c_mel: float = 45.0
     c_kl: float = 1.0
+    # weight of the reverse-KL surrogate (gaussian_nll of z_hat under the
+    # posterior). The reference ships no training script, so this weight is
+    # ours: at 1.0 the term can explode — z_p_hat = m_p + eps*exp(logs_p)
+    # samples far out whenever the prior logs_p grows, and the tight
+    # posterior's exp(-2*logs_q) amplifies the miss quadratically (observed:
+    # round-2 full-size run, loss_gen ~15k by step 1800 from this term while
+    # loss_mel rose 26 -> 44). Default damps it to a regularizer.
+    c_kl_rev: float = 0.05
     seed: int = 1234
     grad_clip: float = 500.0
     # parity: pl_utils accumulate_grad_batches (pl_utils.py:257-282,367) —
@@ -48,13 +56,19 @@ class TrainConfig:
     # TPU-native: bf16 compute (no loss scaling needed), fp32 master params,
     # losses and optimizer in fp32.
     bf16_run: bool = False
+    # derive phone durations by monotonic alignment search inside the train
+    # step (VISinger/models.py:590-604) instead of batch["phone_durations"]
+    use_mas: bool = False
+    # discriminator learning-rate multiplier (GAN balance knob: <1 slows the
+    # discriminator when it collapses the adversarial signal)
+    disc_lr_scale: float = 1.0
 
 
 class TrainState(train_state.TrainState):
     pass
 
 
-def make_optimizer(cfg: TrainConfig):
+def make_optimizer(cfg: TrainConfig, lr_scale: float = 1.0):
     # the schedule counts APPLIED optimizer updates — under MultiSteps that
     # is once per accumulate_grad_batches mini-steps — so convert the
     # per-epoch mini-step count into update counts to keep the decay at
@@ -62,7 +76,7 @@ def make_optimizer(cfg: TrainConfig):
     updates_per_epoch = max(
         cfg.steps_per_epoch // max(cfg.accumulate_grad_batches, 1), 1)
     schedule = optax.exponential_decay(
-        init_value=cfg.learning_rate,
+        init_value=cfg.learning_rate * lr_scale,
         transition_steps=updates_per_epoch,
         decay_rate=cfg.lr_decay, staircase=True)
     tx = optax.chain(
@@ -91,11 +105,11 @@ def create_states(svs_cfg: SVSConfig, train_cfg: TrainConfig, batch_example,
         batch_example["shengdiao"], deterministic=True)
     seg = svs_cfg.segment_size
     disc_vars = disc.init(k5, jnp.zeros((1, seg, 1)), jnp.zeros((1, seg, 1)))
-    opt = make_optimizer(train_cfg)
     gen_state = TrainState.create(apply_fn=gen.apply, params=gen_vars["params"],
-                                  tx=opt)
-    disc_state = TrainState.create(apply_fn=disc.apply,
-                                   params=disc_vars["params"], tx=opt)
+                                  tx=make_optimizer(train_cfg))
+    disc_state = TrainState.create(
+        apply_fn=disc.apply, params=disc_vars["params"],
+        tx=make_optimizer(train_cfg, lr_scale=train_cfg.disc_lr_scale))
     return gen_state, disc_state, gen, disc
 
 
@@ -131,7 +145,7 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
                         batch["y_lengths"], batch["note_ids"],
                         batch["note_durations"], batch["f0_score"],
                         batch["phone_durations"], batch["shengdiao"],
-                        deterministic=False,
+                        deterministic=False, use_mas=train_cfg.use_mas,
                         rngs={"noise": k_noise, "slice": k_slice,
                               "dropout": k_drop})
         return _to_f32(out) if train_cfg.bf16_run else out
@@ -173,23 +187,27 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
         l_kl_rev = losses.gaussian_nll(
             out["z_hat"], jax.lax.stop_gradient(out["m_q"]),
             jax.lax.stop_gradient(out["logs_q"]),
-            out["y_mask"]) * train_cfg.c_kl
+            out["y_mask"]) * train_cfg.c_kl_rev
+        # duration targets = whatever drove the LengthRegulator (ground
+        # truth, or the in-step MAS alignment when use_mas)
         l_dur = losses.duration_loss(out["duration_fraction"],
                                      batch["note_durations"],
-                                     batch["phone_durations"],
+                                     out["duration_targets"],
                                      svs_cfg.frame_seconds, out["x_mask"][..., 0])
         l_f0 = losses.f0_loss(out["log_f0"], batch["log_f0"],
                               out["y_mask"][..., 0])
         l_adv = losses.generator_adv_loss(d_fake)
         l_fm = losses.feature_matching_loss(fmap_r, fmap_g)
         total = l_mel + l_kl + l_kl_rev + l_dur + l_f0 + l_adv + l_fm
+        metrics = {"loss_gen": total, "loss_mel": l_mel, "loss_kl": l_kl,
+                   "loss_kl_rev": l_kl_rev, "loss_dur": l_dur,
+                   "loss_f0": l_f0, "loss_adv": l_adv, "loss_fm": l_fm}
         if svs_cfg.autoencoder:
             l_spec = losses.l1_masked(out["spec_predict"], batch["spec"],
                                       out["y_mask"]) * train_cfg.c_mel
             total = total + l_spec
-        metrics = {"loss_gen": total, "loss_mel": l_mel, "loss_kl": l_kl,
-                   "loss_dur": l_dur, "loss_f0": l_f0, "loss_adv": l_adv,
-                   "loss_fm": l_fm}
+            metrics["loss_spec"] = l_spec
+            metrics["loss_gen"] = total
         return total, (out, metrics)
 
     def train_step(gen_state, disc_state, batch, rng):

@@ -114,6 +114,59 @@ def test_loss_mel_decreases_on_toy_data(tmp_path):
     assert last < first * 0.9, (first, last, mels)
 
 
+def test_mas_train_step(setup):
+    """--durations mas: the train step derives phone durations by monotonic
+    alignment search in-step (VISinger/models.py:590-604) instead of the
+    batch annotations; losses stay finite and params move."""
+    import dataclasses
+    batch, _, _, _ = setup
+    tcfg = dataclasses.replace(TrainConfig(), use_mas=True)
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch)
+    step = jax.jit(make_train_step(gen, disc, TINY, tcfg))
+    g2, d2, metrics = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    leaf0 = jax.tree_util.tree_leaves(gen_state.params)[0]
+    leaf1 = jax.tree_util.tree_leaves(g2.params)[0]
+    assert np.abs(np.asarray(leaf0 - leaf1)).max() > 0
+
+    # the MAS targets must partition the valid frames exactly: per utterance,
+    # sum over tokens == y_length, and padding tokens get zero
+    out = gen.apply({"params": gen_state.params},
+                    batch["phones"], batch["x_lengths"], batch["spec"],
+                    batch["y_lengths"], batch["note_ids"],
+                    batch["note_durations"], batch["f0_score"],
+                    batch["phone_durations"], batch["shengdiao"],
+                    deterministic=True, use_mas=True,
+                    rngs={"noise": jax.random.PRNGKey(1),
+                          "slice": jax.random.PRNGKey(2)})
+    d = np.asarray(out["duration_targets"])
+    np.testing.assert_array_equal(d.sum(1), np.asarray(batch["y_lengths"]))
+    x_len = np.asarray(batch["x_lengths"])
+    for i in range(d.shape[0]):
+        assert (d[i, x_len[i]:] == 0).all()
+        assert (d[i, : x_len[i]] >= 1).all()
+
+
+def test_disc_lr_scale():
+    """disc_lr_scale scales only the discriminator's optimizer LR."""
+    import dataclasses
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(TINY, batch=2, t_phones=8,
+                                         t_frames=32).items()}
+    tcfg = dataclasses.replace(TrainConfig(), disc_lr_scale=0.0)
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch)
+    step = jax.jit(make_train_step(gen, disc, TINY, tcfg))
+    g2, d2, _ = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    d_leaves0 = jax.tree_util.tree_leaves(disc_state.params)
+    d_leaves1 = jax.tree_util.tree_leaves(d2.params)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(d_leaves0, d_leaves1))  # frozen disc
+    g_leaves0 = jax.tree_util.tree_leaves(gen_state.params)[0]
+    g_leaves1 = jax.tree_util.tree_leaves(g2.params)[0]
+    assert np.abs(np.asarray(g_leaves0 - g_leaves1)).max() > 0
+
+
 def test_grad_accumulation(setup):
     """accumulate_grad_batches=2: params change only after the 2nd step
     (pl_utils accumulate_grad_batches parity via optax.MultiSteps)."""
