@@ -111,13 +111,15 @@ class MelodyGenerator:
         model = self.note_model
         src_attn = (src != 0)[:, None, None, :].astype(jnp.int32)
         if use_prev:
-            memory = model.apply(params, src, src_attn, prev,
-                                 method=MelodyTransformer.dot_attention_memory)
+            memory, mem_mask = model.apply(
+                params, src, src_attn, prev,
+                method=MelodyTransformer.prev_memory)
         else:
             memory = model.apply(params, src, src_attn,
                                  method=MelodyTransformer.encode)
+            mem_mask = src_attn
         memory = jnp.repeat(memory, BEAM_SIZE, axis=0)
-        key_mask = jnp.repeat(src_attn, BEAM_SIZE, axis=0)
+        key_mask = jnp.repeat(mem_mask, BEAM_SIZE, axis=0)
         tgt_mask = causal_mask(max_decode + 1)
 
         def decode_logits(seqs, step):
@@ -173,14 +175,12 @@ class MelodyGenerator:
             src, L, k = xs
             src = src[None]
             src_attn = (src != 0)[:, None, None, :].astype(jnp.int32)
-            memory = jax.lax.cond(
-                k > 0,
-                lambda: model.apply(params, src, src_attn, prev_ids[None],
-                                    method=MelodyTransformer.dot_attention_memory),
-                lambda: model.apply(params, src, src_attn,
-                                    method=MelodyTransformer.encode))
+            memory, mem_mask = model.apply(
+                params, src, src_attn, prev_ids[None],
+                (k > 0).astype(jnp.int32),
+                method=MelodyTransformer.prev_memory)
             memory = jnp.repeat(memory, BEAM_SIZE, axis=0)
-            key_mask = jnp.repeat(src_attn, BEAM_SIZE, axis=0)
+            key_mask = jnp.repeat(mem_mask, BEAM_SIZE, axis=0)
             tgt_mask = causal_mask(max_decode + 1)
 
             def decode_logits(seqs, step):

@@ -38,6 +38,19 @@ class MelodyConfig:
     n_heads: int = 8
     dropout: float = 0.1
     max_len: int = 512
+    # cross-sentence conditioning channel:
+    #   "reference": the reference's dotattention (transformer_melody/
+    #     model.py:349-362) — prev note embeddings QUERY the encoder rows and
+    #     the resulting src mixtures REPLACE the decoder memory. Prev
+    #     identity reaches the decoder only through attention-weight
+    #     patterns, never as content: an informationally weak channel (the
+    #     round-3 probe shows a trained model's outputs are bit-identical
+    #     under true vs shuffled prev).
+    #   "concat": TPU-native improvement — the decoder attends over
+    #     [encoder rows | prev note embeddings], so lyric content stays
+    #     intact AND prev notes are directly readable. No extra params
+    #     (reuses tgt_embed); checkpoints transfer between modes.
+    prev_mode: str = "reference"
 
 
 def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
@@ -184,6 +197,32 @@ class MelodyTransformer(nn.Module):
         interact = interact + (src_mask[:, 0].astype(jnp.int32) - 1) * 1e-9
         attn = jax.nn.softmax(interact, axis=-1)
         return jnp.einsum("bps,bsd->bpd", attn, memory)
+
+    def prev_memory(self, src, src_mask, previous_ids, prev_active=None,
+                    deterministic: bool = True):
+        """(memory, memory_mask) for the previous-sentence-conditioned
+        decode, per cfg.prev_mode. ``prev_active`` (optional traced 0/1
+        scalar) gates the conditioning inside one compiled program (the
+        whole-song scan passes k > 0); None means prev is always active."""
+        if self.cfg.prev_mode == "concat":
+            enc = self.encode(src, src_mask, deterministic)
+            prev = self.tgt_embed(previous_ids, deterministic)
+            memory = jnp.concatenate([enc, prev], axis=1)
+            prev_mask = (previous_ids != 0).astype(src_mask.dtype)
+            if prev_active is not None:
+                prev_mask = prev_mask * prev_active
+            return memory, jnp.concatenate(
+                [src_mask, prev_mask[:, None, None, :]], axis=-1)
+        if prev_active is None:
+            mem = self.dot_attention_memory(src, src_mask, previous_ids,
+                                            deterministic)
+        else:
+            mem = jax.lax.cond(
+                prev_active > 0,
+                lambda: self.dot_attention_memory(src, src_mask, previous_ids,
+                                                  deterministic),
+                lambda: self.encode(src, src_mask, deterministic))
+        return mem, src_mask
 
     def decode(self, memory, src_mask, tgt, tgt_mask, deterministic: bool = True):
         return self.decoder(self.tgt_embed(tgt, deterministic), memory,

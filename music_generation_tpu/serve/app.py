@@ -51,13 +51,21 @@ class MusicGenerationService:
     def __init__(self, song_synthesizer, lyric_generator=None,
                  cfg: Optional[ServiceConfig] = None,
                  logger: Optional[logging.Logger] = None,
-                 shell_backend=None, canned_dir=None):
+                 shell_backend=None, canned_dir=None,
+                 fused_synthesizer=None):
         self.songs = song_synthesizer
         self.lyrics = lyric_generator
         self.cfg = cfg or ServiceConfig()
         self.logger = logger or make_logger(self.cfg)
         self.shell_backend = shell_backend
         self.canned_dir = canned_dir
+        # measured-fastest single-request path (pipeline/fused.py: the whole
+        # lyrics->waveform program in ONE device call). Auto-picked by load:
+        # a lone request takes the fused program; concurrent requests take
+        # the staged path so the cross-request SVS batcher can coalesce them.
+        self.fused = fused_synthesizer
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self._lock = threading.Lock()
         self._profile_lock = threading.Lock()  # one profiler trace at a time
         # cross-request SVS micro-batching: concurrent requests coalesce
@@ -139,16 +147,28 @@ class MusicGenerationService:
             # code-203 JSON the wire contract promises, not a raw 500
             singer_id = int(data.get("singer_id", 0) or 0)
             t0 = time.time()
-            if self._batcher is not None:
-                svs = self.songs.synthesizers.get(
-                    singer_id, self.songs.synthesizers[0])
-                result = self.songs.synthesize_song(
-                    text, singer_id=singer_id,
-                    svs_batch_fn=self._batcher.fn_for(svs))
-            else:
-                with self._lock:
-                    result = self.songs.synthesize_song(text,
-                                                        singer_id=singer_id)
+            with self._inflight_lock:
+                self._inflight += 1
+                alone = self._inflight == 1
+            try:
+                if self.fused is not None and (alone or self._batcher is None):
+                    # single in-flight request -> one-device-call fast path
+                    with self._lock:
+                        result = self.fused.synthesize_song(
+                            text, singer_id=singer_id)
+                elif self._batcher is not None:
+                    svs = self.songs.synthesizers.get(
+                        singer_id, self.songs.synthesizers[0])
+                    result = self.songs.synthesize_song(
+                        text, singer_id=singer_id,
+                        svs_batch_fn=self._batcher.fn_for(svs))
+                else:
+                    with self._lock:
+                        result = self.songs.synthesize_song(
+                            text, singer_id=singer_id)
+            finally:
+                with self._inflight_lock:
+                    self._inflight -= 1
             b64 = base64.b64encode(result.wav_bytes).decode()
             self.logger.info("音频合成耗时：%.3f 秒。", time.time() - t0)
             return {"code": 200, "message": "success！",
@@ -175,6 +195,8 @@ def make_http_server(service: MusicGenerationService, host: str, port: int):
                 payload = {"ok": True}
                 if service._batcher is not None:
                     payload["batching"] = dict(service._batcher.stats)
+                if service.fused is not None:
+                    payload["fused"] = True
                 self._send_json(payload)
             elif self.path.startswith("/syn_outputs/"):
                 # static output serving (parity: the v1 app exposes
@@ -296,6 +318,11 @@ def main(argv=None):
                         help="multi-chip SVS inference mesh, e.g. 4x2: "
                              "sentences sharded over `data`, params "
                              "tensor-parallel over `model`")
+    parser.add_argument("--fused", action="store_true",
+                        help="serve the fused lyrics->WAV single-device-call "
+                             "program for single-request latency; concurrent "
+                             "requests still take the staged path + "
+                             "cross-request SVS batcher (auto-pick by load)")
     parser.add_argument("--warmup", action="store_true",
                         help="synthesize one representative song before "
                              "accepting traffic so the common shape buckets "
@@ -358,18 +385,35 @@ def main(argv=None):
                           num_heads=4)
                  if cfg.tiny else T5Config(vocab_size=tok.vocab_size))
         lyric_gen = LyricGeneratorT5(t5cfg, tokenizer=tok)
+    fused = None
+    if args.fused:
+        if hasattr(songs.melody, "_song_impl"):
+            from ..pipeline.fused import FusedSongSynthesizer
+            fused = FusedSongSynthesizer(songs.melody, songs.synthesizers)
+            logger.info("fused single-call path enabled (auto-pick by load)")
+        else:
+            logger.warning("--fused needs the transformer melody family "
+                           "(variant %s uses %s) — ignored",
+                           spec.name, type(songs.melody).__name__)
     from ..pipeline.shell_backend import ShellPipelineBackend
     shell = ShellPipelineBackend(lyric_fn=lyric_gen.generate)
     service = MusicGenerationService(songs, lyric_gen, cfg, logger,
                                      shell_backend=shell,
-                                     canned_dir=spec.canned_dir)
+                                     canned_dir=spec.canned_dir,
+                                     fused_synthesizer=fused)
 
     if args.warmup:
+        warm_text = "你好世界。小小的天有大大的梦想。隐形的翅膀。带我飞过绝望"
         t0 = time.time()
-        out = service.handle_synthesis(
-            {"text": "你好世界。小小的天有大大的梦想。隐形的翅膀。带我飞过绝望"})
+        out = service.handle_synthesis({"text": warm_text})
         logger.info("warmup request code=%s in %.1fs",
                     out.get("code"), time.time() - t0)
+        if fused is not None:
+            # the request above warmed the fused program; also compile the
+            # staged path concurrent requests fall back to
+            t0 = time.time()
+            songs.synthesize_song(warm_text)
+            logger.info("staged-path warmup in %.1fs", time.time() - t0)
 
     server = make_http_server(service, cfg.host, cfg.port)
     logger.info("serving on %s:%d", cfg.host, cfg.port)

@@ -107,7 +107,13 @@ def _toy_melody_pairs(n: int = 64, syllables: int = 6, seed: int = 0):
 def _toy_melody_pairs_prev(n: int = 64, syllables: int = 6, seed: int = 0):
     """Two-sentence songs where the SECOND sentence's notes depend on the
     previous sentence's last note — decodable only through the
-    dot-attention previous-sentence memory (api._beam_impl use_prev)."""
+    previous-sentence memory (api._beam_impl use_prev): sentence 2 is the
+    pentatonic scale CONTINUED from where sentence 1 ended
+    (notes2[j] = scale[(start + 1 + j) % 5]). The start note is drawn
+    uniformly, so a model that ignores prev is capped at exactly 1/5 per
+    note position; reading prev makes every note deterministic. (An earlier
+    design derived notes2 from hash(char)+shift — modular composition the
+    tiny probe model couldn't fit, which masked the channel's effect.)"""
     from .toydata import _SYL_TEXT, _TOY_NOTES, _TOY_SYLLABLES
     rng = np.random.RandomState(seed)
     pairs = []
@@ -118,9 +124,10 @@ def _toy_melody_pairs_prev(n: int = 64, syllables: int = 6, seed: int = 0):
         text2 = "".join(_SYL_TEXT[s] for s in syls2)
         notes1 = [_TOY_NOTES[_stable_hash(ch) % len(_TOY_NOTES)]
                   for ch in text1]
-        shift = _TOY_NOTES.index(notes1[-1])
-        notes2 = [_TOY_NOTES[(_stable_hash(ch) + shift) % len(_TOY_NOTES)]
-                  for ch in text2]
+        start = int(rng.randint(len(_TOY_NOTES)))
+        notes1[-1] = _TOY_NOTES[start]
+        notes2 = [_TOY_NOTES[(start + 1 + j) % len(_TOY_NOTES)]
+                  for j in range(len(text2))]
         durs = [0.3] * syllables
         pairs.append((text2, notes2, durs, notes1))
     return pairs
@@ -405,6 +412,14 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
         chars = sorted(load_lexicon().monosyllable.keys())
         ld, nd = lyric_dictionary_from_chars(chars), note_dictionary()
         if family == "melody_note_prev":
+            if data:
+                # like telemelody: this family trains on constructed
+                # prev-dependent pairs; transcriptions carry no
+                # cross-sentence structure to learn from
+                raise ValueError(
+                    "melody_note_prev trains on synthetic prev-conditioned "
+                    "pairs; --data is not supported (use family=melody_note "
+                    "for transcription data)")
             pairs = _toy_melody_pairs_prev(seed=seed)
         elif data:
             pairs = _melody_pairs_from_transcriptions(data)
@@ -412,10 +427,17 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
             pairs = _toy_melody_pairs(seed=seed)
         batcher = _MelodyBatcher(pairs, ld, nd, seed=seed)
         if family == "melody_note_prev":
+            # prev_mode="concat": the reference's dotattention channel is
+            # informationally weak (prev reaches the decoder only through
+            # attention-weight patterns — models/melody/transformer.py
+            # MelodyConfig.prev_mode) and a trained model ignores prev
+            # entirely; the concat channel actually learns the conditioning
             cfg = (MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size,
-                                n_layers=1, d_model=32, d_ff=64, n_heads=2)
+                                n_layers=1, d_model=32, d_ff=64, n_heads=2,
+                                prev_mode="concat")
                    if tiny else
-                   MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size))
+                   MelodyConfig(src_vocab=ld.size, tgt_vocab=nd.size,
+                                prev_mode="concat"))
             model = MelodyTransformer(cfg)
             b = batcher.batch(2)
             params = model.init(

@@ -46,10 +46,10 @@ def melody_note_prev_loss(model, params, batch, dropout_rng):
     src, tgt_in, tgt_out = batch["src"], batch["tgt_in"], batch["tgt_out"]
     src_attn = (src != 0)[:, None, None, :].astype(jnp.int32)
     rngs = {"dropout": dropout_rng}
-    memory = model.apply(params, src, src_attn, batch["prev"],
-                         deterministic=False, rngs=rngs,
-                         method=MelodyTransformer.dot_attention_memory)
-    out = model.apply(params, memory, src_attn, tgt_in,
+    memory, mem_mask = model.apply(params, src, src_attn, batch["prev"],
+                                   deterministic=False, rngs=rngs,
+                                   method=MelodyTransformer.prev_memory)
+    out = model.apply(params, memory, mem_mask, tgt_in,
                       causal_mask(tgt_in.shape[1]), deterministic=False,
                       rngs=rngs, method=MelodyTransformer.decode)
     logits = model.apply(params, out, method=MelodyTransformer.logits)

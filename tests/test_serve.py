@@ -78,3 +78,47 @@ def test_http_roundtrip(service):
             assert json.loads(r.read())["code"] == 200
     finally:
         server.shutdown()
+
+
+def test_fused_serving_path():
+    """--fused: the service routes a lone request through the fused
+    single-device-call synthesizer and falls back to the staged path under
+    concurrency (auto-pick by load); healthz reports fused=true."""
+    from music_generation_tpu.pipeline.fused import FusedSongSynthesizer
+
+    songs = build_default_song_synthesizer(tiny=True, n_speakers=1)
+    fused = FusedSongSynthesizer(songs.melody, songs.synthesizers)
+    calls = {"fused": 0}
+    real = fused.synthesize_song
+
+    def counting(*a, **k):
+        calls["fused"] += 1
+        return real(*a, **k)
+
+    fused.synthesize_song = counting
+    cfg = ServiceConfig(log_dir="/tmp/mgt_test_logs")
+    service = MusicGenerationService(songs, FakeLyrics(), cfg,
+                                     fused_synthesizer=fused)
+    out = service.handle_synthesis({"text": "你好世界"})
+    assert out["code"] == 200
+    assert calls["fused"] == 1
+    wav_bytes = base64.b64decode(out["data"]["audio"])
+    sr, wav = wavfile.read(io.BytesIO(wav_bytes))
+    assert sr == 22050 and wav.dtype == np.int16
+
+    # under load (a request already in flight) the staged path is used
+    service._inflight = 1
+    out = service.handle_synthesis({"text": "你好世界"})
+    service._inflight = 0
+    assert out["code"] == 200 and calls["fused"] == 1
+
+    server = make_http_server(service, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            payload = json.loads(r.read())
+        assert payload["ok"] is True and payload["fused"] is True
+    finally:
+        server.shutdown()

@@ -82,35 +82,70 @@ def main(argv=None):
         MelodyTransformer)
     from music_generation_tpu.train.seq import _toy_melody_pairs_prev
     from music_generation_tpu.train import seq_losses
+    # the arpeggio-continuation task needs ~1000 steps on the tiny model to
+    # saturate (train/seq._toy_melody_pairs_prev)
+    prev_steps = max(args.steps, 1000)
     prev_losses, prev_params = train_family(
-        "melody_note_prev", steps=args.steps, batch_size=32, tiny=True,
-        log_every=max(args.steps // 4, 1), return_params=True)
+        "melody_note_prev", steps=prev_steps, batch_size=32, tiny=True,
+        log_every=max(prev_steps // 4, 1), return_params=True)
     model_p, _pp, _lp, _bp = build_family("melody_note_prev", True, None)
     hb = _MelodyBatcher(_toy_melody_pairs_prev(n=64, seed=998), ld, nd)
     b = hb.batch(64)
 
     def _prev_acc(prev_arr):
+        """(teacher_forced, position0, free_running) accuracies.
+
+        Teacher forcing leaks the prev-derived structure through the true
+        target history (the round-2 probe reported only this number, which
+        is why true-vs-shuffled barely separated); position-0 and the
+        free-running greedy decode — the serving semantics — depend on the
+        previous-sentence memory alone."""
         src_l = jnp.asarray(b["src"])
-        attn = (src_l != 0)[:, None, None, :].astype(jnp.int32)
-        mem = model_p.apply(prev_params, src_l, attn, jnp.asarray(prev_arr),
-                            method=MelodyTransformer.dot_attention_memory)
+        attn0 = (src_l != 0)[:, None, None, :].astype(jnp.int32)
+        mem, attn = model_p.apply(prev_params, src_l, attn0,
+                                  jnp.asarray(prev_arr),
+                                  method=MelodyTransformer.prev_memory)
         out = model_p.apply(prev_params, mem, attn, jnp.asarray(b["tgt_in"]),
                             causal_mask(b["tgt_in"].shape[1]),
                             method=MelodyTransformer.decode)
         lg = model_p.apply(prev_params, out,
                            method=MelodyTransformer.logits)
         pr = np.asarray(jnp.argmax(lg, -1))
-        m = np.asarray(b["tgt_out"]) != 0
-        return float((pr[m] == np.asarray(b["tgt_out"])[m]).mean())
+        tgt = np.asarray(b["tgt_out"])
+        m = tgt != 0
+        tf_acc = float((pr[m] == tgt[m]).mean())
+        pos0 = float((pr[:, 0] == tgt[:, 0]).mean())
+        T = b["tgt_in"].shape[1]
+        cur = np.zeros_like(b["tgt_in"])
+        cur[:, 0] = b["tgt_in"][:, 0]  # BOS
+        for t in range(T - 1):
+            out = model_p.apply(prev_params, mem, attn, jnp.asarray(cur),
+                                causal_mask(T),
+                                method=MelodyTransformer.decode)
+            lg = model_p.apply(prev_params, out,
+                               method=MelodyTransformer.logits)
+            cur[:, t + 1] = np.asarray(jnp.argmax(lg[:, t], -1))
+        fr, tgt_notes = cur[:, 1:], tgt[:, :-1]
+        m2 = tgt_notes != 0
+        fr_acc = float((fr[:, : tgt_notes.shape[1]][m2]
+                        == tgt_notes[m2]).mean())
+        return tf_acc, pos0, fr_acc
 
-    acc_true = _prev_acc(b["prev"])
-    acc_shuf = _prev_acc(np.roll(b["prev"], 1, axis=0))  # wrong prevs
+    t_tf, t_p0, t_fr = _prev_acc(b["prev"])
+    s_tf, s_p0, s_fr = _prev_acc(np.roll(b["prev"], 1, axis=0))  # wrong prevs
     report["melody_note_prev"] = {
         "first_loss": round(prev_losses[0], 4),
         "final_loss": round(prev_losses[-1], 4),
-        "heldout_accuracy_true_prev": round(acc_true, 4),
-        "heldout_accuracy_shuffled_prev": round(acc_shuf, 4),
+        "heldout_accuracy_true_prev": round(t_tf, 4),
+        "heldout_accuracy_shuffled_prev": round(s_tf, 4),
+        "pos0_accuracy_true_prev": round(t_p0, 4),
+        "pos0_accuracy_shuffled_prev": round(s_p0, 4),
+        "free_running_accuracy_true_prev": round(t_fr, 4),
+        "free_running_accuracy_shuffled_prev": round(s_fr, 4),
+        "note": "free-running/pos0 probe the prev memory alone; "
+                "teacher-forced leaks structure via target history",
     }
+    assert t_fr - s_fr >= 0.3, (t_fr, s_fr)
 
     # ---- 1c. seq2seq RNN family (melody_v2): train -> serve decode ----
     s2s_losses, s2s_params = train_family(
