@@ -48,9 +48,11 @@ class FusedSongSynthesizer:
     """Drop-in for SongSynthesizer (same synthesize_song signature)."""
 
     def __init__(self, melody: MelodyGenerator,
-                 synthesizers: dict[int, SVSSynthesizer]):
+                 synthesizers: dict[int, SVSSynthesizer],
+                 lyric_replacements: tuple = ()):
         self.melody = melody
         self.synthesizers = synthesizers
+        self.lyric_replacements = tuple(lyric_replacements)
         self._table = jnp.asarray(_midi_table(melody.note_dict))
 
     @functools.lru_cache(maxsize=64)
@@ -126,7 +128,8 @@ class FusedSongSynthesizer:
                         ) -> SongResult:
         svs = self.synthesizers.get(singer_id, self.synthesizers[0])
         melody = self.melody
-        sentences = split_sentences(lyrics)
+        sentences = split_sentences(lyrics,
+                                    replacements=self.lyric_replacements)
         t_start = time.time()
 
         # --- host: G2P + index maps --------------------------------------

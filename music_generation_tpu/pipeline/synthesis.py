@@ -39,12 +39,23 @@ FRAME_BUCKETS = (128, 256, 512, 768, 1024, 1536, 1984)
 MIN_SENTENCE_LEN = 2
 
 
-def split_sentences(lyrics: str, min_len: int = MIN_SENTENCE_LEN) -> list[str]:
+# the svs_v5 pipeline string-replaces two phrases in every lyric fragment
+# before merging (pipline_inference_svs_v5.py:191; commented out again in
+# the v6 pipeline :197) — carried as a variant-gated option
+LYRIC_REPLACEMENTS = (("飞向远方去飞翔", "永远陪在你身旁"),
+                      ("换你的梦", "呵护着你"))
+
+
+def split_sentences(lyrics: str, min_len: int = MIN_SENTENCE_LEN,
+                    replacements: tuple = ()) -> list[str]:
     """Punctuation split + merge of fragments shorter than min_len
-    (parity: syn_music :190-204)."""
+    (parity: syn_music :190-204); ``replacements`` applies per-fragment
+    phrase substitutions first (svs_v5's censorship list)."""
     parts = SENTENCE_SPLIT_RE.split(lyrics)
     merged, carry = [], ""
     for p in parts:
+        for old, new in replacements:
+            p = p.replace(old, new)
         if len(p) < min_len:
             carry += p + ","
         else:
@@ -278,8 +289,12 @@ class SongSynthesizer:
     def __init__(self, melody: MelodyGenerator,
                  synthesizers: dict[int, SVSSynthesizer],
                  mix_accompaniment: bool = False,
-                 accompaniment_gain: float = 0.8):
+                 accompaniment_gain: float = 0.8,
+                 lyric_replacements: tuple = ()):
         self.melody = melody
+        # svs_v5 censorship substitutions (LYRIC_REPLACEMENTS when the
+        # variant enables them)
+        self.lyric_replacements = tuple(lyric_replacements)
         self.synthesizers = synthesizers  # singer_id -> SVSSynthesizer
         # pipeline v1 mixes 0.8*FluidSynth(MIDI) + vocal
         # (pipline_inference.py:221-232); here the melody generator exposes
@@ -298,7 +313,8 @@ class SongSynthesizer:
         per-request SVS call — the serving tier passes a cross-request
         coalescer (serve/batching.SVSBatcher.fn_for)."""
         svs = self.synthesizers.get(singer_id, self.synthesizers[0])
-        sentences = split_sentences(lyrics)
+        sentences = split_sentences(lyrics,
+                                    replacements=self.lyric_replacements)
         all_notes, previous_midis = [], []
         t_start = time.time()
 

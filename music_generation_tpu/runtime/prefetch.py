@@ -73,3 +73,13 @@ class Prefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=2.0)
+
+    # context manager: guarantees the producer stops even when the consumer
+    # raises mid-iteration (otherwise it keeps assembling + device_put-ting
+    # up to `depth` batches after the training loop died)
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -369,6 +369,9 @@ def main(argv=None):
         songs = SongSynthesizer(build_melody_generator(spec, tiny=cfg.tiny),
                                 songs.synthesizers,
                                 mix_accompaniment=spec.accompaniment)
+    if spec.censor_lyrics:
+        from ..pipeline.synthesis import LYRIC_REPLACEMENTS
+        songs.lyric_replacements = LYRIC_REPLACEMENTS
     if cfg.checkpoint_dir:
         from ..compat import load_pipeline
         load_pipeline(cfg.checkpoint_dir, songs)
@@ -389,7 +392,9 @@ def main(argv=None):
     if args.fused:
         if hasattr(songs.melody, "_song_impl"):
             from ..pipeline.fused import FusedSongSynthesizer
-            fused = FusedSongSynthesizer(songs.melody, songs.synthesizers)
+            fused = FusedSongSynthesizer(
+                songs.melody, songs.synthesizers,
+                lyric_replacements=songs.lyric_replacements)
             logger.info("fused single-call path enabled (auto-pick by load)")
         else:
             logger.warning("--fused needs the transformer melody family "

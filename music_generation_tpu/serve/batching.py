@@ -117,7 +117,10 @@ class SVSBatcher:
         off = 0
         for item in items:
             n = len(item.scores)
-            if err is None and off + n <= len(wavs):
+            # a request whose sentences all completed in earlier successful
+            # chunks still gets its result even if a LATER chunk errored —
+            # one bad request must not fail already-computed peers
+            if off + n <= len(wavs):
                 item.result = wavs[off: off + n]
             else:
                 item.error = err or RuntimeError("batch underrun")

@@ -25,6 +25,9 @@ class VariantSpec:
     n_speakers: int = 1
     canned_dir: Optional[str] = None  # resources/ with canned demo songs
     accompaniment: bool = False       # mix rendered MIDI under the vocal
+    # svs_v5's per-fragment phrase substitutions
+    # (pipline_inference_svs_v5.py:191; v6 comments them out)
+    censor_lyrics: bool = False
 
 
 VARIANTS = {
@@ -35,9 +38,9 @@ VARIANTS = {
                             accompaniment=True),
     "melody_v2": VariantSpec("melody_v2", melody="seq2seq",
                              canned_dir="./resources"),
-    "svs_v5": VariantSpec("svs_v5", melody="sdp"),
+    "svs_v5": VariantSpec("svs_v5", melody="sdp", censor_lyrics=True),
     "svs_v5_multispeaker": VariantSpec("svs_v5_multispeaker", melody="sdp",
-                                       n_speakers=3),
+                                       n_speakers=3, censor_lyrics=True),
     "svs_v6_multispeaker": VariantSpec("svs_v6_multispeaker", melody="mse",
                                        n_speakers=3),
 }

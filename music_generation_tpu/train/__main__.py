@@ -52,6 +52,10 @@ def main(argv=None):
                    help="discriminator LR multiplier (GAN balance knob)")
     p.add_argument("--c-kl-rev", type=float, default=None,
                    help="reverse-KL weight (default TrainConfig.c_kl_rev)")
+    p.add_argument("--log-images", action="store_true",
+                   help="write spectrogram heatmaps (predicted vs target) "
+                        "with each metrics log (TB + PNGs under "
+                        "<ckpt-dir>/logs/images)")
     p.add_argument("--decoder", default="hifigan",
                    choices=["hifigan", "istft", "mb_istft"],
                    help="vocoder decoder family (istft variants trade the "
@@ -98,7 +102,8 @@ def main(argv=None):
 
     tcfg = TrainConfig(accumulate_grad_batches=args.accumulate_grad_batches,
                        bf16_run=args.bf16, use_mas=args.durations == "mas",
-                       disc_lr_scale=args.disc_lr_scale)
+                       disc_lr_scale=args.disc_lr_scale,
+                       log_images=args.log_images)
     if args.c_kl_rev is not None:
         import dataclasses as _dc
         tcfg = _dc.replace(tcfg, c_kl_rev=args.c_kl_rev)
@@ -155,29 +160,36 @@ def main(argv=None):
         def transfer(b):
             return {k: jax.device_put(v, bs) for k, v in b.items()}
 
+        feed = None
         if args.prefetch > 0:
             from ..runtime import Prefetcher
-            batches = iter(Prefetcher(next_batch, args.steps,
-                                      depth=args.prefetch, transfer=transfer))
+            feed = Prefetcher(next_batch, args.steps, depth=args.prefetch,
+                              transfer=transfer)
+            batches = iter(feed)
         else:
             batches = ((s, transfer(next_batch(s)))
                        for s in range(args.steps))
 
         t0 = time.time()
         metrics = None
-        for step, batch in batches:
-            rng, sub = jax.random.split(rng)
-            gen_state, disc_state, metrics = step_fn(gen_state, disc_state,
-                                                     batch, sub)
-            if step % args.log_every == 0:
-                m = {k: round(float(v), 4) for k, v in metrics.items()}
-                dt = time.time() - t0
-                print(f"step {step} ({dt:.1f}s): {m}")
-                metrics_writer.write(step, metrics)
-            if args.ckpt_every and step and step % args.ckpt_every == 0:
-                save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state,
-                                disc_state, step, keep_last=args.keep_last,
-                                metric=float(metrics["loss_mel"]))
+        try:
+            for step, batch in batches:
+                rng, sub = jax.random.split(rng)
+                gen_state, disc_state, metrics = step_fn(gen_state, disc_state,
+                                                         batch, sub)
+                if step % args.log_every == 0:
+                    m = {k: round(float(v), 4) for k, v in metrics.items()
+                         if getattr(v, "ndim", 0) == 0}
+                    dt = time.time() - t0
+                    print(f"step {step} ({dt:.1f}s): {m}")
+                    metrics_writer.write(step, metrics)
+                if args.ckpt_every and step and step % args.ckpt_every == 0:
+                    save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state,
+                                    disc_state, step, keep_last=args.keep_last,
+                                    metric=float(metrics["loss_mel"]))
+        finally:
+            if feed is not None:  # stop the producer on consumer error too
+                feed.close()
         save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state, disc_state,
                         args.steps, keep_last=args.keep_last,
                         metric=(float(metrics["loss_mel"])

@@ -537,19 +537,20 @@ def train_family(family: str, steps: int = 100, batch_size: int = 16,
     t0 = time.time()
     # overlap host batch assembly + H2D with the device step
     from ..runtime import Prefetcher
-    feed = Prefetcher(
-        lambda _s: batcher.batch(batch_size), steps, depth=2,
-        transfer=lambda b: {k: jnp.asarray(v) for k, v in b.items()})
-    for offset, batch in feed:
-        step = start_step + offset
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = step_fn(params, opt_state, batch, sub)
-        losses.append(float(loss))
-        if step % log_every == 0 or step == start_step + steps - 1:
-            print(f"[{family}] step {step} loss {float(loss):.4f} "
-                  f"({time.time() - t0:.1f}s)")
-            if metrics_writer is not None:
-                metrics_writer.write(step, {"loss": loss})
+    with Prefetcher(
+            lambda _s: batcher.batch(batch_size), steps, depth=2,
+            transfer=lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+            ) as feed:
+        for offset, batch in feed:
+            step = start_step + offset
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = step_fn(params, opt_state, batch, sub)
+            losses.append(float(loss))
+            if step % log_every == 0 or step == start_step + steps - 1:
+                print(f"[{family}] step {step} loss {float(loss):.4f} "
+                      f"({time.time() - t0:.1f}s)")
+                if metrics_writer is not None:
+                    metrics_writer.write(step, {"loss": loss})
     if ckpt_dir:
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()

@@ -62,6 +62,9 @@ class TrainConfig:
     # discriminator learning-rate multiplier (GAN balance knob: <1 slows the
     # discriminator when it collapses the adversarial signal)
     disc_lr_scale: float = 1.0
+    # emit spectrogram images with the metrics (parity: the reference's
+    # TensorBoard image summaries, VISinger/utils/utils.py:93-146)
+    log_images: bool = False
 
 
 class TrainState(train_state.TrainState):
@@ -208,6 +211,13 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
             total = total + l_spec
             metrics["loss_spec"] = l_spec
             metrics["loss_gen"] = total
+        if train_cfg.log_images:
+            # first-in-batch debug images; MetricsWriter renders array
+            # values as heatmap PNGs / TB images
+            metrics["img_mel_predict"] = out["mel_predict"][0]
+            if svs_cfg.autoencoder:
+                metrics["img_spec_predict"] = out["spec_predict"][0]
+                metrics["img_spec_target"] = batch["spec"][0]
         return total, (out, metrics)
 
     def train_step(gen_state, disc_state, batch, rng):

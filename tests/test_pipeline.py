@@ -58,3 +58,20 @@ def test_full_song_other_speaker(song_synth):
     r1 = song_synth.synthesize_song("你好世界", singer_id=1)
     # different speaker params -> different audio
     assert r0.wav_bytes != r1.wav_bytes
+
+
+def test_lyric_censorship_replacements():
+    """svs_v5 carries the reference's per-fragment phrase substitutions
+    (pipline_inference_svs_v5.py:191); other variants leave lyrics alone."""
+    from music_generation_tpu.pipeline.synthesis import (LYRIC_REPLACEMENTS,
+                                                         split_sentences)
+    from music_generation_tpu.serve.variants import VARIANTS
+
+    lyr = "我要飞向远方去飞翔。换你的梦想起航"
+    plain = split_sentences(lyr)
+    assert plain == ["我要飞向远方去飞翔", "换你的梦想起航"]
+    censored = split_sentences(lyr, replacements=LYRIC_REPLACEMENTS)
+    assert censored == ["我要永远陪在你身旁", "呵护着你想起航"]
+    assert VARIANTS["svs_v5"].censor_lyrics
+    assert VARIANTS["svs_v5_multispeaker"].censor_lyrics
+    assert not VARIANTS["svs_v6_multispeaker"].censor_lyrics

@@ -213,3 +213,34 @@ def test_bf16_train_step_finite_and_close_to_f32():
     l0 = jax.tree_util.tree_leaves(gen_state.params)[0]
     l1 = leaves[0]
     assert np.abs(np.asarray(l0 - l1)).max() > 0
+
+
+def test_train_step_losses_match_across_meshes():
+    """Cross-mesh equivalence (correct ON a mesh, not just runs on one): the
+    same batch + params + rng must produce the same losses on a 1-device
+    mesh and the 8-device (data, model) virtual mesh within float
+    tolerance (partitioned reductions reorder float ops)."""
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("needs 8 virtual cpu devices")
+    tcfg = TrainConfig()
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(TINY, batch=8, t_phones=8,
+                                         t_frames=32).items()}
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch)
+    step = make_train_step(gen, disc, TINY, tcfg)
+    results = {}
+    for name, (n_data, n_model) in {"1x1": (1, 1), "4x2": (4, 2)}.items():
+        mesh = make_mesh(n_data=n_data, n_model=n_model,
+                         devices=cpus[: n_data * n_model])
+        with mesh:
+            bs = batch_sharding(mesh)
+            b = {k: jax.device_put(v, bs) for k, v in batch.items()}
+            g = gen_state.replace(params=shard_params(gen_state.params, mesh))
+            d = disc_state.replace(
+                params=shard_params(disc_state.params, mesh))
+            _, _, metrics = jax.jit(step)(g, d, b, jax.random.PRNGKey(7))
+            results[name] = {k: float(v) for k, v in metrics.items()}
+    for k in results["1x1"]:
+        a, b = results["1x1"][k], results["4x2"][k]
+        assert abs(a - b) <= 1e-4 * max(abs(a), 1.0), (k, a, b)
