@@ -260,21 +260,60 @@ class _Seq2SeqBatcher:
         return out
 
 
+def _telemelody_pairs_from_transcriptions(path: str):
+    """Real-data (chars, rhythm, trend, notes) token streams for TeleMelody
+    from SVS transcriptions: the note onsets/durations are quantized onto
+    the serving REMI grid (16 positions per bar, Pos unit = 0.125 s), beat
+    classes come from the onset position, and the trend stream follows the
+    generate_melody layout (MAJ + per-note Chord/NOT|AUT/BEAT with the fixed
+    chord progression, Melody/telemelody/model.py:189-217)."""
+    from ..models.melody.telemelody import DEFAULT_CHORDS
+
+    chords_list = DEFAULT_CHORDS.split()
+    unit = 0.125  # seconds per Pos step; 16 steps = one 2 s bar
+    pairs = []
+    for text, notes, durs in _melody_pairs_from_transcriptions(path):
+        from ..frontend import note_to_midi
+        chars = list(text)[: len(notes)]
+        onset = 0.0
+        rhythm, trend, note_toks = [], ["MAJ"], []
+        for k, (note, dur) in enumerate(zip(notes, durs)):
+            units = int(round(onset / unit))
+            bar, pos = min(units // 16, 63), units % 16
+            beat = pos // 4
+            dur_units = min(max(int(round(dur / unit)), 1), 16)
+            chord = chords_list[bar % len(chords_list)]
+            rhythm.append(str(beat))
+            trend += [f"Chord_{chord}",
+                      "AUT" if k == len(chars) - 1 else "NOT",
+                      f"BEAT_{beat}"]
+            midi = 60 if note == "rest" else int(note_to_midi(note))
+            note_toks += [f"Bar_{bar}", f"Pos_{pos}",
+                          f"Pitch_{min(max(midi, 40), 95)}",
+                          f"Dur_{dur_units}"]
+            onset += float(dur)
+        pairs.append((chars, rhythm, trend, note_toks))
+    return pairs
+
+
 class _TeleMelodyBatcher:
-    """Synthetic token-stream batches for TeleMelody's twin transformers.
+    """Token-stream batches for TeleMelody's twin transformers.
 
     Layouts mirror the sampler (telemelody.py _sample + generate_melody):
     encoder input is `ids + [EOS]`, decoding starts at BOS and ends at EOS,
     and trend streams carry the leading MAJ token plus NOT/HALF/AUT section
-    enders the serving path emits. Targets are deterministic (stable-hash)
-    functions of the inputs so both models train to falling loss.
+    enders the serving path emits. Without ``pairs``, targets are synthetic
+    deterministic (stable-hash) functions of the inputs; with ``pairs``
+    (from _telemelody_pairs_from_transcriptions) both models train on real
+    rhythm/trend/note streams derived from transcriptions.
     """
 
-    def __init__(self, gen, t_len: int = 24, seed: int = 0):
+    def __init__(self, gen, t_len: int = 24, seed: int = 0, pairs=None):
         from ..models.melody.telemelody import SEP
         self.gen = gen
         self.t = t_len
         self.sep = SEP
+        self.pairs = pairs
         self.rng = np.random.RandomState(seed)
         from .toydata import _SYL_TEXT
         self.chars = list(_SYL_TEXT.values())
@@ -301,6 +340,19 @@ class _TeleMelodyBatcher:
                          "lyric2rhythm_out", "trend2melody_src",
                          "trend2melody_in", "trend2melody_out")}
         for i in range(bs):
+            if self.pairs is not None:
+                chars, rhythm, trend, note_toks = self.pairs[
+                    self.rng.randint(len(self.pairs))]
+                self._frame((g.lyric_dict, g.rhythm_dict),
+                            list(chars) + [self.sep],
+                            list(rhythm) + [self.sep],
+                            out["lyric2rhythm_src"], out["lyric2rhythm_in"],
+                            out["lyric2rhythm_out"], i)
+                self._frame((g.trend_dict, g.notes_dict), list(trend),
+                            list(note_toks), out["trend2melody_src"],
+                            out["trend2melody_in"], out["trend2melody_out"],
+                            i)
+                continue
             n = self.rng.randint(4, 8)
             chars = [str(self.rng.choice(self.chars)) for _ in range(n)]
             rhythm = [str(_stable_hash(c) % 4) for c in chars]
@@ -387,15 +439,6 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
         batcher = _Seq2SeqBatcher(pairs, langs, seed=seed)
         return models, params, seq_losses.seq2seq_family_loss, batcher
     if family == "telemelody":
-        if data:
-            # the twin transformers consume rhythm/trend token streams, not
-            # the SVS transcription format — fail loudly rather than
-            # silently training on synthetic targets while the user's
-            # dataset is ignored
-            raise ValueError(
-                "--data is not supported for the telemelody family (it "
-                "trains on synthetic rhythm/trend token streams); omit "
-                "--data or train the other melody families with it")
         from ..models.melody import MelodyConfig
         from ..models.melody.telemelody import TeleMelodyGenerator
         cfg = (MelodyConfig(n_layers=1, d_model=32, d_ff=64, n_heads=2)
@@ -405,7 +448,15 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
                   "trend2melody": gen.trend2melody}
         params = {"lyric2rhythm": gen.l2r_params,
                   "trend2melody": gen.t2m_params}
-        batcher = _TeleMelodyBatcher(gen, seed=seed)
+        if data:
+            # real rhythm/trend/note streams derived from transcriptions
+            # (REMI-grid quantization); longer frames: 4 note tokens per
+            # syllable
+            batcher = _TeleMelodyBatcher(
+                gen, t_len=48, seed=seed,
+                pairs=_telemelody_pairs_from_transcriptions(data))
+        else:
+            batcher = _TeleMelodyBatcher(gen, seed=seed)
         return models, params, seq_losses.telemelody_family_loss, batcher
     if family in ("melody_note", "melody_note_prev", "duration_mse",
                   "duration_sdp"):

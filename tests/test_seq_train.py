@@ -95,3 +95,31 @@ def test_telemelody_family_trains():
     losses = train_family("telemelody", steps=25, batch_size=8,
                           tiny=True, log_every=25)
     assert losses[-1] < losses[0]
+
+
+def test_telemelody_trains_on_transcriptions(tmp_path):
+    """--data for telemelody: rhythm/trend/note streams derived from real
+    transcriptions on the serving REMI grid (round-2 parity gap — the
+    family previously refused --data)."""
+    from music_generation_tpu.train.seq import (
+        _telemelody_pairs_from_transcriptions)
+    f = tmp_path / "t.txt"
+    f.write_text(
+        "utt001|你好世界|n i3 h ao3 sh i4 j ie4|C4 C4 D4 D4 E4 E4 G4 G4|"
+        "0.3 0.3 0.4 0.4 0.5 0.5 0.25 0.25|"
+        "0.1 0.2 0.15 0.25 0.2 0.3 0.1 0.15\n", encoding="utf-8")
+    pairs = _telemelody_pairs_from_transcriptions(str(f))
+    assert len(pairs) == 1
+    chars, rhythm, trend, note_toks = pairs[0]
+    assert chars == ["你", "好", "世", "界"]
+    assert len(rhythm) == 4 and all(r in "0123" for r in rhythm)
+    assert trend[0] == "MAJ" and len(trend) == 1 + 3 * 4
+    assert trend[2] == "NOT" and trend[-1].startswith("BEAT_")
+    assert trend[-2] == "AUT"
+    # note stream: Bar/Pos/Pitch/Dur per syllable on the 0.125 s grid
+    assert note_toks[:4] == ["Bar_0", "Pos_0", "Pitch_60", "Dur_2"]
+    assert note_toks[4:8] == ["Bar_0", "Pos_2", "Pitch_62", "Dur_3"]
+    losses = train_family("telemelody", steps=14, batch_size=8, tiny=True,
+                          data=str(f), log_every=100)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.97, (losses[0], losses[-1])
