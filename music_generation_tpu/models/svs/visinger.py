@@ -313,6 +313,20 @@ class VISinger(nn.Module):
         seconds; x_lengths: int32 [B]. Returns (audio [B, max_frames*hop, 1],
         mel_len [B], aux dict).
         """
+        hidden, mel_len, aux = self.infer_hidden(
+            phones, x_lengths, note_ids, note_durations, shengdiao,
+            max_frames, noise_scale=noise_scale, ph_dur=ph_dur, noise=noise)
+        return self._decode(hidden), mel_len, aux
+
+    def infer_hidden(self, phones, x_lengths, note_ids, note_durations,
+                     shengdiao, max_frames: int, noise_scale: float = 1.0,
+                     ph_dur: Optional[jnp.ndarray] = None,
+                     noise: Optional[jnp.ndarray] = None):
+        """infer() up to (but excluding) the vocoder decoder: returns the
+        decoder input hidden [B, max_frames, C]. Lets callers run the
+        decoder frame-chunked in the same jit program (decode_chunked) —
+        the HiFi-GAN upsample activations, not the model, are what cap the
+        batch size in HBM (b=32 x 512 frames needs ~22 G vs 15.75 G)."""
         c = self.cfg
         x_mask = feature_mask(x_lengths, phones.shape[1])
         h_text = self.text_encoder(phones, note_ids, note_durations,
@@ -334,10 +348,19 @@ class VISinger(nn.Module):
             noise = jax.random.normal(self.make_rng("noise"), m_p.shape)
         z_p = m_p + noise * jnp.exp(logs_p) * noise_scale
         z = self.spec_flow(z_p, y_mask, reverse=True)
-        audio, spec_predict = self._latent_to_audio(z, y_mask)
+        if c.autoencoder:
+            spec_predict = self.spec_decoder(z, y_mask)
+            hidden = self.spec_proj(spec_predict) * y_mask
+        else:
+            spec_predict = None
+            hidden = z * y_mask
         aux = {"log_f0": log_f0, "mel_predict": mel_predict,
                "spec_predict": spec_predict, "frames": frames}
-        return audio, mel_len, aux
+        return hidden, mel_len, aux
+
+    def decode_hidden(self, hidden, g=None):
+        """Vocoder decoder only (pairs with infer_hidden)."""
+        return self._decode(hidden, g=g)
 
     def infer_fake(self, spec, y_lengths, max_len: Optional[int] = None,
                    noise=None):

@@ -85,11 +85,25 @@ class SVSSynthesizer:
     def __init__(self, cfg: Optional[SVSConfig] = None,
                  params=None, seed: int = 0,
                  frontend: Optional[ScoreFrontend] = None,
-                 mesh=None):
+                 mesh=None, decode_chunk_frames: Optional[int] = None,
+                 decode_chunk_halo: int = 24,
+                 max_batch: Optional[int] = None):
         self.cfg = cfg or SVSConfig()
         self.model = VISinger(self.cfg)
         self.frontend = frontend or ScoreFrontend()
         self.mesh = mesh
+        # frame-chunked vocoder decode: lax.scan over windows of
+        # decode_chunk_frames (+halo each side, center-cropped) bounds the
+        # HiFi-GAN upsample activations — the HBM term that capped full-size
+        # batches at b=16 (b=32 x 512 frames needs ~22 G vs 15.75 G). The
+        # halo must cover the decoder stack's receptive field so chunked
+        # output equals the monolithic decode (tests/test_svs.py).
+        self.decode_chunk_frames = decode_chunk_frames
+        self.decode_chunk_halo = decode_chunk_halo
+        # per-instance batch cap: chunked decode bounds the decoder
+        # activations, so callers may raise it past the monolithic-decode
+        # HBM limit (MAX_BATCH)
+        self.max_batch = max_batch if max_batch else self.MAX_BATCH
         self._infer_key = jax.random.PRNGKey(seed + 17)
         if params is None:
             t = PHONE_BUCKETS[0]
@@ -119,6 +133,41 @@ class SVSSynthesizer:
                 rngs={"noise": noise_key})
         return jax.jit(run)
 
+    def _chunked_decode(self, params, hidden):
+        """Vocoder decode as a lax.scan over frame windows with halo +
+        center crop — trace-time helper used inside the jitted batch
+        program. Bit-exact vs the monolithic decode: window starts are
+        CLAMPED to the signal (never zero-padded), so the first/last
+        windows sit flush with the edges and the decoder's own per-layer
+        conv padding applies there exactly as in the monolithic decode,
+        while interior crops are exact once the halo covers the decoder
+        stack's receptive field (tests/test_svs.py)."""
+        chunk, halo = self.decode_chunk_frames, self.decode_chunk_halo
+        hop = self.cfg.hop_length
+        b, f, c = hidden.shape
+        win = chunk + 2 * halo
+        if f <= win:
+            return self.model.apply(params, hidden,
+                                    method=VISinger.decode_hidden)
+        n = -(-f // chunk)
+        out_starts = jnp.minimum(jnp.arange(n) * chunk, f - chunk)
+        win_starts = jnp.clip(out_starts - halo, 0, f - win)
+        offsets = out_starts - win_starts
+
+        def step(buf, xs):
+            ws, off, outs = xs
+            w = jax.lax.dynamic_slice(hidden, (0, ws, 0), (b, win, c))
+            y = self.model.apply(params, w, method=VISinger.decode_hidden)
+            piece = jax.lax.dynamic_slice(
+                y, (0, off * hop, 0), (b, chunk * hop, y.shape[-1]))
+            return jax.lax.dynamic_update_slice(
+                buf, piece, (0, outs * hop, 0)), None
+
+        buf = jnp.zeros((b, f * hop, 1), jnp.float32)
+        buf, _ = jax.lax.scan(step, buf,
+                              (win_starts, offsets, out_starts))
+        return buf
+
     @functools.lru_cache(maxsize=32)
     def _compiled_int16(self, max_frames: int):
         """Infer + on-device per-sentence peak normalize to int16 (the
@@ -136,11 +185,19 @@ class SVSSynthesizer:
             x_lengths = packed[3, :, 0]
             note_durations = jax.lax.bitcast_convert_type(packed[4],
                                                           jnp.float32)
-            audio, mel_len, _ = self.model.apply(
-                params, phones=phones, x_lengths=x_lengths, note_ids=note_ids,
-                note_durations=note_durations, shengdiao=shengdiao,
-                max_frames=max_frames, method=VISinger.infer,
-                rngs={"noise": noise_key})
+            if self.decode_chunk_frames:
+                hidden, mel_len, _ = self.model.apply(
+                    params, phones=phones, x_lengths=x_lengths,
+                    note_ids=note_ids, note_durations=note_durations,
+                    shengdiao=shengdiao, max_frames=max_frames,
+                    method=VISinger.infer_hidden, rngs={"noise": noise_key})
+                audio = self._chunked_decode(params, hidden)
+            else:
+                audio, mel_len, _ = self.model.apply(
+                    params, phones=phones, x_lengths=x_lengths,
+                    note_ids=note_ids, note_durations=note_durations,
+                    shengdiao=shengdiao, max_frames=max_frames,
+                    method=VISinger.infer, rngs={"noise": noise_key})
             a = audio[..., 0]
             n_samples = a.shape[1]
             valid = (jnp.arange(n_samples)[None, :]
@@ -228,17 +285,30 @@ class SVSSynthesizer:
         single 500-char request can't exceed HBM."""
         if not scores:
             return []
-        if len(scores) > self.MAX_BATCH:
+        if len(scores) > self.max_batch:
+            # dispatch every chunk first, then collect: chunk k+1's host
+            # prep + H2D overlaps chunk k's device compute (async dispatch)
+            handles = [self.dispatch_batch(scores[k: k + self.max_batch])
+                       for k in range(0, len(scores), self.max_batch)]
             out = []
-            for k in range(0, len(scores), self.MAX_BATCH):
-                out.extend(self.synthesize_batch(scores[k: k + self.MAX_BATCH]))
+            for h in handles:
+                out.extend(self.collect_batch(h))
             return out
+        return self.collect_batch(self.dispatch_batch(scores))
+
+    def dispatch_batch(self, scores: list):
+        """Launch one batched SVS call without blocking on the result (JAX
+        async dispatch): returns an opaque handle for collect_batch. Lets
+        callers pipeline H2D/compute/D2H across chunks."""
         max_frames, packed = self._batch_inputs(scores)
         self._infer_key, sub = jax.random.split(self._infer_key)
         audio, mel_len = self._compiled_int16(max_frames)(
             self.params, sub, packed)
+        return audio, mel_len, len(scores)
+
+    def collect_batch(self, handle) -> list[np.ndarray]:
+        audio, mel_len, b = handle
         # unpack the int32-packed pairs back to int16 samples
-        b = len(scores)
         audio = np.asarray(audio).view(np.int16).reshape(audio.shape[0], -1)
         mel_len = np.asarray(mel_len)
         return [audio[i, : int(mel_len[i]) * self.cfg.hop_length]

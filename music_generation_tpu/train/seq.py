@@ -393,7 +393,10 @@ class _LyricBatcher:
             ids[i, : len(enc)] = enc
             kw = (self.keywords[p] if self.keywords
                   else self.lines[p][:2])
-            kenc = self.tok.encode(f"关键词：{kw}")[:16]
+            # the SERVING prompt layout (LyricGeneratorT5.generate:
+            # '关键词：{kw} 长度：{n}') so keyword-conditioned generation is
+            # in-distribution for trained checkpoints
+            kenc = self.tok.encode(f"关键词：{kw} 长度：15")[:16]
             src[i, : len(kenc)] = kenc
         return {"ids": ids, "src": src, "tgt": ids}
 

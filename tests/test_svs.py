@@ -196,3 +196,35 @@ def test_voice_conversion_flow_roundtrip(vc_params):
         rngs={"noise": jax.random.PRNGKey(12)})
     np.testing.assert_allclose(np.asarray(audio), np.asarray(fake_audio),
                                atol=1e-4)
+
+
+def test_chunked_decode_matches_monolithic():
+    """Frame-chunked vocoder decode (SVSSynthesizer decode_chunk_frames:
+    lax.scan over halo'd windows) must produce the same waveform as the
+    monolithic decode — the b=16 HBM cap remedy must not change audio."""
+    from music_generation_tpu.pipeline.synthesis import SVSSynthesizer
+
+    base = SVSSynthesizer(TINY, seed=5)
+    chunked = SVSSynthesizer(TINY, params=base.params, seed=5,
+                             decode_chunk_frames=16, decode_chunk_halo=8)
+    texts = ["你好世界", "小小的天有大的梦想"]
+    scores = []
+    for text in texts:
+        notes = (["C4", "C4", "D4", "D4", "E4", "E4", "G4", "G4", "A4",
+                  "A4"] * 2)[: 2 * len(text)]
+        scores.append(base.frontend.align(text, notes, [0.3] * len(notes)))
+    ref = base.synthesize_batch(scores)
+    got = chunked.synthesize_batch(scores)
+    assert len(ref) == len(got) == 2
+    for a, b in zip(ref, got):
+        assert a.shape == b.shape and b.dtype == np.int16
+        np.testing.assert_allclose(a.astype(np.int32), b.astype(np.int32),
+                                   atol=1)
+
+
+def test_chunked_decode_respects_max_batch_override():
+    from music_generation_tpu.pipeline.synthesis import SVSSynthesizer
+    s = SVSSynthesizer(TINY, seed=1, decode_chunk_frames=16, max_batch=32)
+    assert s.max_batch == 32
+    s2 = SVSSynthesizer(TINY, seed=1)
+    assert s2.max_batch == SVSSynthesizer.MAX_BATCH
