@@ -40,6 +40,19 @@ class ScoreFrontend:
         self.phones: PhonemeVocab = phone_vocab()
         self.shengdiao: PhonemeVocab = shengdiao_vocab()
 
+    def _safe_units(self, syl: str) -> tuple[str, ...]:
+        """split_syllable with OOV repair: a unit that neither vocabulary
+        can encode (e.g. G2P residue of latin letters or lexicon data
+        defects in LM-generated lyrics) becomes an SP pause instead of a
+        KeyError deep inside the request handler — failures are repaired,
+        not raised (the reference's melody-repair philosophy, SURVEY §5)."""
+        units = (syl,) if syl in ("SP", "AP") else split_syllable(syl)
+        return tuple(
+            u if (self.shengdiao.contains(u)
+                  and self.phones.contains(_TONE_RE.sub("", u)))
+            else "SP"
+            for u in units)
+
     def align(self, text: str, notes: list[str], note_durations: list[float]) -> ScoreInputs:
         """Phonemize `text` and expand notes/durations across split syllables.
 
@@ -54,10 +67,17 @@ class ScoreFrontend:
         out_notes: list[str] = []
         out_durs: list[float] = []
         for pos, syl in enumerate(syllables):
-            units = (syl,) if syl in ("SP", "AP") else split_syllable(syl)
+            units = self._safe_units(syl)
+            # melody length mismatches are REPAIRED, not failed (reference
+            # convention, transformer_melody/inference.py handle_notes /
+            # Melody/seq2seq/get_melody.py:284-295): syllables beyond the
+            # notes list reuse the last note/duration
+            note = notes[pos] if pos < len(notes) else notes[-1]
+            dur = (note_durations[pos] if pos < len(note_durations)
+                   else note_durations[-1])
             ph_seq.extend(units)
-            out_notes.extend([notes[pos]] * len(units))
-            out_durs.extend([float(note_durations[pos])] * len(units))
+            out_notes.extend([note] * len(units))
+            out_durs.extend([float(dur)] * len(units))
 
         tone_str = " ".join(ph_seq).replace(",", "SP")
         plain_str = _TONE_RE.sub("", tone_str)
@@ -82,7 +102,7 @@ class ScoreFrontend:
         ph_seq: list[str] = []
         syl_idx: list[int] = []
         for pos, syl in enumerate(syllables):
-            units = (syl,) if syl in ("SP", "AP") else split_syllable(syl)
+            units = self._safe_units(syl)
             ph_seq.extend(units)
             syl_idx.extend([pos] * len(units))
 

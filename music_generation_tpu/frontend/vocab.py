@@ -56,6 +56,9 @@ class PhonemeVocab:
         """Space-separated token string -> ids. OOV raises KeyError (parity)."""
         return [self._ids[self.canonicalize(t)] for t in s.strip().split()]
 
+    def contains(self, token: str) -> bool:
+        return self.canonicalize(token) in self._ids
+
     def decode(self, ids) -> str:
         return " ".join(self._tokens[i] for i in ids)
 

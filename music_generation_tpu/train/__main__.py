@@ -52,6 +52,11 @@ def main(argv=None):
                    help="discriminator LR multiplier (GAN balance knob)")
     p.add_argument("--c-kl-rev", type=float, default=None,
                    help="reverse-KL weight (default TrainConfig.c_kl_rev)")
+    p.add_argument("--c-adv", type=float, default=None,
+                   help="adversarial weight; 0 = pure-regression phase "
+                        "(skips the discriminator update)")
+    p.add_argument("--c-fm", type=float, default=None,
+                   help="feature-matching weight")
     p.add_argument("--log-images", action="store_true",
                    help="write spectrogram heatmaps (predicted vs target) "
                         "with each metrics log (TB + PNGs under "
@@ -104,9 +109,11 @@ def main(argv=None):
                        bf16_run=args.bf16, use_mas=args.durations == "mas",
                        disc_lr_scale=args.disc_lr_scale,
                        log_images=args.log_images)
-    if args.c_kl_rev is not None:
-        import dataclasses as _dc
-        tcfg = _dc.replace(tcfg, c_kl_rev=args.c_kl_rev)
+    import dataclasses as _dc
+    for field, val in (("c_kl_rev", args.c_kl_rev), ("c_adv", args.c_adv),
+                       ("c_fm", args.c_fm)):
+        if val is not None:
+            tcfg = _dc.replace(tcfg, **{field: val})
     n_dev = len(jax.devices())
     n_model = args.n_model
     n_data = max(n_dev // n_model, 1)

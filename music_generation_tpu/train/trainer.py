@@ -39,6 +39,13 @@ class TrainConfig:
     steps_per_epoch: int = 1
     c_mel: float = 45.0
     c_kl: float = 1.0
+    # adversarial / feature-matching weights. c_adv=0 also skips the
+    # discriminator update entirely — a pure-regression (mel+spec+KL)
+    # phase; used to finetune reconstruction after the LSGAN discriminator
+    # saturates (observed: disc loss ~2e-4 by step 2k on the toy set while
+    # loss_mel RISES 26->44 chasing adv/fm noise)
+    c_adv: float = 1.0
+    c_fm: float = 1.0
     # weight of the reverse-KL surrogate (gaussian_nll of z_hat under the
     # posterior). The reference ships no training script, so this weight is
     # ours: at 1.0 the term can explode — z_p_hat = m_p + eps*exp(logs_p)
@@ -199,8 +206,8 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
                                      svs_cfg.frame_seconds, out["x_mask"][..., 0])
         l_f0 = losses.f0_loss(out["log_f0"], batch["log_f0"],
                               out["y_mask"][..., 0])
-        l_adv = losses.generator_adv_loss(d_fake)
-        l_fm = losses.feature_matching_loss(fmap_r, fmap_g)
+        l_adv = losses.generator_adv_loss(d_fake) * train_cfg.c_adv
+        l_fm = losses.feature_matching_loss(fmap_r, fmap_g) * train_cfg.c_fm
         total = l_mel + l_kl + l_kl_rev + l_dur + l_f0 + l_adv + l_fm
         metrics = {"loss_gen": total, "loss_mel": l_mel, "loss_kl": l_kl,
                    "loss_kl_rev": l_kl_rev, "loss_dur": l_dur,
@@ -222,11 +229,17 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
 
     def train_step(gen_state, disc_state, batch, rng):
         rng_d, rng_g = jax.random.split(rng)
-        # --- discriminator step (fresh generator sample) ---
-        gen_out = gen_forward(gen_state.params, batch, rng_d)
-        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
-            disc_state.params, gen_out, batch)
-        disc_state = disc_state.apply_gradients(grads=d_grads)
+        if train_cfg.c_adv == 0.0:
+            # pure-regression phase: no discriminator update (the gen loss
+            # still runs disc_apply for the — zero-weighted — terms, but no
+            # adversarial game is played)
+            d_loss = jnp.float32(0.0)
+        else:
+            # --- discriminator step (fresh generator sample) ---
+            gen_out = gen_forward(gen_state.params, batch, rng_d)
+            d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
+                disc_state.params, gen_out, batch)
+            disc_state = disc_state.apply_gradients(grads=d_grads)
         # --- generator step ---
         (g_loss, (_, metrics)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(gen_state.params, disc_state.params,

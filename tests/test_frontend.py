@@ -116,3 +116,18 @@ def test_word_parse_matches_reference(goldens):
     from music_generation_tpu.frontend import normalize_text
     for text, want in goldens["normalize_word_parse"].items():
         assert normalize_text(text, word_parse=True) == want, text
+
+
+def test_align_repairs_oov_and_short_notes():
+    """LM-generated lyrics can contain characters whose G2P yields
+    un-encodable units, and melodies can come up short; align repairs both
+    (SP substitution / last-note reuse — the reference's repair-not-fail
+    convention, SURVEY §5) instead of raising inside the request handler."""
+    from music_generation_tpu.frontend.align import ScoreFrontend
+
+    f = ScoreFrontend()
+    s = f.align("abc你好", ["C4", "D4"], [0.3, 0.4])  # latin + short melody
+    assert len(s.phone_ids) == len(s.shengdiao_ids) == len(s.note_ids)
+    assert len(s.phone_ids) > 0
+    # the known-good syllables still encode to real phones
+    assert any(p != "SP" for p in s.phonemes)

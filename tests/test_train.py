@@ -244,3 +244,23 @@ def test_train_step_losses_match_across_meshes():
     for k in results["1x1"]:
         a, b = results["1x1"][k], results["4x2"][k]
         assert abs(a - b) <= 1e-4 * max(abs(a), 1.0), (k, a, b)
+
+
+def test_pure_regression_phase_freezes_disc(setup):
+    """c_adv=0: no discriminator update (pure-regression finetune phase);
+    generator still trains on mel/spec/KL."""
+    import dataclasses
+    batch, _, _, _ = setup
+    tcfg = dataclasses.replace(TrainConfig(), c_adv=0.0, c_fm=0.0)
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch)
+    step = jax.jit(make_train_step(gen, disc, TINY, tcfg))
+    g2, d2, metrics = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    assert float(metrics["loss_disc"]) == 0.0
+    assert float(metrics["loss_adv"]) == 0.0 and float(metrics["loss_fm"]) == 0.0
+    d0 = jax.tree_util.tree_leaves(disc_state.params)
+    d1 = jax.tree_util.tree_leaves(d2.params)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(d0, d1))
+    g0 = jax.tree_util.tree_leaves(gen_state.params)[0]
+    g1 = jax.tree_util.tree_leaves(g2.params)[0]
+    assert np.abs(np.asarray(g0 - g1)).max() > 0
