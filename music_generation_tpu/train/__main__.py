@@ -57,6 +57,23 @@ def main(argv=None):
                         "(skips the discriminator update)")
     p.add_argument("--c-fm", type=float, default=None,
                    help="feature-matching weight")
+    p.add_argument("--c-spec", type=float, default=None,
+                   help="AE spec_predict L1 weight (default = c_mel); set "
+                        "low to focus gradient on the vocoder once the "
+                        "frame-prior has converged")
+    p.add_argument("--c-mel", type=float, default=None,
+                   help="mel-reconstruction weight (default TrainConfig"
+                        ".c_mel = 45, the reference's c_mel)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="initial learning rate (default TrainConfig"
+                        ".learning_rate = 2e-4); lower for polish finetunes")
+    p.add_argument("--warmup-steps", type=int, default=200,
+                   help="linear LR warmup steps (0 disables) — protects "
+                        "the decoder from the huge random-init KL "
+                        "transient (saturated-tanh lockup)")
+    p.add_argument("--grad-clip-norm", type=float, default=None,
+                   help="global-norm gradient clip (default TrainConfig"
+                        ".grad_clip_norm = 100)")
     p.add_argument("--log-images", action="store_true",
                    help="write spectrogram heatmaps (predicted vs target) "
                         "with each metrics log (TB + PNGs under "
@@ -111,7 +128,10 @@ def main(argv=None):
                        log_images=args.log_images)
     import dataclasses as _dc
     for field, val in (("c_kl_rev", args.c_kl_rev), ("c_adv", args.c_adv),
-                       ("c_fm", args.c_fm)):
+                       ("c_fm", args.c_fm), ("c_mel", args.c_mel),
+                       ("c_spec", args.c_spec), ("learning_rate", args.lr),
+                       ("warmup_steps", args.warmup_steps),
+                       ("grad_clip_norm", args.grad_clip_norm)):
         if val is not None:
             tcfg = _dc.replace(tcfg, **{field: val})
     n_dev = len(jax.devices())

@@ -437,8 +437,12 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
         params = {"lyric2note": gen.lyric2note[1],
                   "lyric2duration": gen.lyric2duration[1],
                   "note2duration": gen.note2duration[1]}
+        # n=512: with only 64 pairs the RNNs memorize whole sequences
+        # (train loss 0.026) yet transpose notes on unseen char
+        # combinations (served accuracy 0.667 in the round-2 demo); enough
+        # diversity forces the per-char mapping to generalize
         pairs = (_melody_pairs_from_transcriptions(data) if data
-                 else _toy_melody_pairs(seed=seed))
+                 else _toy_melody_pairs(n=512, seed=seed))
         batcher = _Seq2SeqBatcher(pairs, langs, seed=seed)
         return models, params, seq_losses.seq2seq_family_loss, batcher
     if family == "telemelody":

@@ -38,6 +38,13 @@ class TrainConfig:
     # decay ~12500x too fast.
     steps_per_epoch: int = 1
     c_mel: float = 45.0
+    # AE-variant spec_predict L1 weight; None = same as c_mel. Setting it
+    # low AFTER the frame-prior has converged concentrates gradient on the
+    # vocoder re-adapting to its (now near-ground-truth) spec_predict input
+    # — the front half converges much faster than the decoder and keeps
+    # shifting the decoder's input distribution (observed: finetune drove
+    # spec L1 0.52->0.08 while mel L1 rose 0.65->1.02).
+    c_spec: Optional[float] = None
     c_kl: float = 1.0
     # adversarial / feature-matching weights. c_adv=0 also skips the
     # discriminator update entirely — a pure-regression (mel+spec+KL)
@@ -56,6 +63,18 @@ class TrainConfig:
     c_kl_rev: float = 0.05
     seed: int = 1234
     grad_clip: float = 500.0
+    # global-norm clip + LR warmup: the random-init KL/reverse-KL transient
+    # is enormous (observed: step-0 loss_gen ~3e6 on the full-size model)
+    # and one unprotected update drives the HiFi-GAN decoder's pre-tanh
+    # activations into saturation (mean |x| ~8 at conv_post => tanh grad
+    # ~1e-7) — the decoder then NEVER recovers waveform shape (square-wave
+    # output, mel-L1 floor ~0.64 no matter how long training runs).
+    # Elementwise clip(500) does not prevent this; a global-norm bound plus
+    # a few hundred warmup steps does.
+    grad_clip_norm: float = 100.0
+    # default 0 keeps single-step semantics exact (unit tests assert params
+    # move on step 1); the train CLI defaults --warmup-steps to 200
+    warmup_steps: int = 0
     # parity: pl_utils accumulate_grad_batches (pl_utils.py:257-282,367) —
     # optimizer updates apply every N steps with averaged gradients
     accumulate_grad_batches: int = 1
@@ -85,11 +104,19 @@ def make_optimizer(cfg: TrainConfig, lr_scale: float = 1.0):
     # exactly one gamma per epoch
     updates_per_epoch = max(
         cfg.steps_per_epoch // max(cfg.accumulate_grad_batches, 1), 1)
-    schedule = optax.exponential_decay(
-        init_value=cfg.learning_rate * lr_scale,
-        transition_steps=updates_per_epoch,
-        decay_rate=cfg.lr_decay, staircase=True)
+    if cfg.warmup_steps > 0:
+        schedule = optax.warmup_exponential_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate * lr_scale,
+            warmup_steps=cfg.warmup_steps,
+            transition_steps=updates_per_epoch,
+            decay_rate=cfg.lr_decay, staircase=True)
+    else:
+        schedule = optax.exponential_decay(
+            init_value=cfg.learning_rate * lr_scale,
+            transition_steps=updates_per_epoch,
+            decay_rate=cfg.lr_decay, staircase=True)
     tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.clip(cfg.grad_clip),
         optax.adamw(schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
                     weight_decay=0.0),
@@ -213,8 +240,10 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
                    "loss_kl_rev": l_kl_rev, "loss_dur": l_dur,
                    "loss_f0": l_f0, "loss_adv": l_adv, "loss_fm": l_fm}
         if svs_cfg.autoencoder:
+            c_spec = (train_cfg.c_spec if train_cfg.c_spec is not None
+                      else train_cfg.c_mel)
             l_spec = losses.l1_masked(out["spec_predict"], batch["spec"],
-                                      out["y_mask"]) * train_cfg.c_mel
+                                      out["y_mask"]) * c_spec
             total = total + l_spec
             metrics["loss_spec"] = l_spec
             metrics["loss_gen"] = total
@@ -331,7 +360,24 @@ def restore_checkpoint(path: str, gen_state, disc_state):
               "disc": {"params": disc_state.params,
                        "opt_state": disc_state.opt_state,
                        "step": disc_state.step}}
-    restored = ckptr.restore(path, target)
+    try:
+        restored = ckptr.restore(path, target)
+    except Exception:
+        # optimizer-state layout mismatch (a checkpoint saved before a
+        # gradient transform was added/removed from the optax chain):
+        # restore params + step only and keep the fresh optimizer state —
+        # evaluation and resume-with-new-optimizer both stay possible
+        raw = ocp.PyTreeCheckpointer().restore(path)
+        import jax as _jax
+        remap = lambda tgt, sub: _jax.tree_util.tree_map(
+            lambda _, v: v, tgt, sub)
+        gen_state = gen_state.replace(
+            params=remap(gen_state.params, raw["gen"]["params"]),
+            step=jnp.asarray(raw["gen"]["step"]))
+        disc_state = disc_state.replace(
+            params=remap(disc_state.params, raw["disc"]["params"]),
+            step=jnp.asarray(raw["disc"]["step"]))
+        return gen_state, disc_state
     gen_state = gen_state.replace(params=restored["gen"]["params"],
                                   opt_state=restored["gen"]["opt_state"],
                                   step=restored["gen"]["step"])

@@ -29,6 +29,10 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--wav-out", default=None,
                    help="write the first reconstruction as a wav here")
+    p.add_argument("--noise-scale", type=float, default=1.0,
+                   help="posterior sampling noise scale (0 = reconstruct "
+                        "from the posterior MEAN, isolating the decoder's "
+                        "fidelity from the VAE sampling-noise floor)")
     args = p.parse_args()
 
     import jax
@@ -62,8 +66,13 @@ def main():
 
     @jax.jit
     def reconstruct(params, spec, y_lengths, noise_key):
+        ns = args.noise_scale
+        noise = (None if ns == 1.0 else
+                 jax.random.normal(noise_key,
+                                   (spec.shape[0], spec.shape[1],
+                                    cfg.inter_channels)) * ns)
         audio, y_mask, _ = gen.apply(
-            {"params": params}, spec, y_lengths,
+            {"params": params}, spec, y_lengths, noise=noise,
             method=VISinger.copy_synthesis, rngs={"noise": noise_key})
         return audio
 
@@ -127,8 +136,13 @@ def main():
             json.dump(result, f, indent=1)
     if args.wav_out:
         from music_generation_tpu.audio.wav import normalize_int16, write_wav
-        write_wav(args.wav_out, normalize_int16(rec[0] * 32767.0),
+        n0 = min(int(y_len[0]) * cfg.hop_length, rec.shape[1])
+        write_wav(args.wav_out, normalize_int16(rec[0, :n0] * 32767.0),
                   cfg.sampling_rate)
+        ref0 = np.asarray(batch["audio"])[0, :n0, 0]
+        base, ext = os.path.splitext(args.wav_out)
+        write_wav(base + "_target" + ext,
+                  normalize_int16(ref0 * 32767.0), cfg.sampling_rate)
 
 
 if __name__ == "__main__":
