@@ -69,18 +69,34 @@ class Generator(nn.Module):
     gin_channels: int = 0
 
     @nn.compact
-    def __call__(self, x, g=None):
-        """x: [B, T_frames, C] latent -> [B, T_frames * prod(rates), 1] audio."""
+    def __call__(self, x, g=None, exc=None):
+        """x: [B, T_frames, C] latent -> [B, T_frames * prod(rates), 1] audio.
+
+        exc: optional NSF harmonic source [B, T_frames * prod(rates), 1]
+        (models/svs/excitation.py). Injected after every upsample stage via
+        a learned strided conv, so the high-rate resblocks shape harmonics
+        around a source with the right periodicity instead of having to
+        phase-track an arbitrary fundamental from near-constant input.
+        """
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
         x = Conv1d(self.upsample_initial_channel, 7, name="conv_pre")(x)
         if g is not None:
             x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
         num_kernels = len(self.resblock_kernel_sizes)
+        total_up = 1
+        for u in self.upsample_rates:
+            total_up *= u
+        rate_so_far = 1
         for i, (u, k) in enumerate(zip(self.upsample_rates,
                                        self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             x = ConvTranspose1d(ch, k, u, weight_norm=True, name=f"up_{i}")(x)
+            rate_so_far *= u
+            if exc is not None:
+                stride = total_up // rate_so_far
+                x = x + Conv1d(ch, max(2 * stride, 3), stride=stride,
+                               name=f"exc_{i}")(exc.astype(x.dtype))
             xs = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
                                              self.resblock_dilation_sizes)):
@@ -88,7 +104,18 @@ class Generator(nn.Module):
                 xs = y if xs is None else xs + y
             x = xs / num_kernels
         x = jax.nn.leaky_relu(x)
-        x = Conv1d(1, 7, use_bias=False, name="conv_post")(x)
+        # small-init the output projection (1e-2 x the incoming activation
+        # scale): the decoder starts squarely in tanh's linear region. With
+        # the default init the random resblock stack's activation scale can
+        # land the pre-tanh signal in the saturated tail, where ALL
+        # waveform-loss gradients (~tanh') vanish and training locks into a
+        # DC rail it can never leave (observed: full-size toy runs converge
+        # to output = +0.99 with a 0.04-peak-to-peak ripple). Small-not-zero:
+        # at exactly 0 the mel clamp and |audio|^2-style terms ALSO have
+        # dead gradients.
+        x = Conv1d(1, 7, use_bias=False, name="conv_post",
+                   kernel_init=nn.initializers.variance_scaling(
+                       1e-4, "fan_in", "truncated_normal"))(x)
         return jnp.tanh(x)
 
 

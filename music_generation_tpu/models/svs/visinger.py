@@ -90,6 +90,13 @@ class SVSConfig:
     sampling_rate: int = 22050
     hop_length: int = 256
     frame_seconds: float = 0.0116     # duration->frames divisor (models.py:639)
+    # NSF harmonic excitation (models/svs/excitation.py): hand the decoder a
+    # sample-rate sine source at the target F0 (GT log-f0 in training,
+    # predicted log-f0 at inference). Beyond-parity: the reference's plain
+    # HiFi-GAN-on-z decoder cannot phase-track held notes (observed mel-L1
+    # floor + tanh saturation on stationary-pitch data); this is the
+    # NSF/VISinger-2-style fix. hifigan decoder_type only.
+    nsf: bool = False
 
     @property
     def hop_seconds(self) -> float:
@@ -282,18 +289,32 @@ class VISinger(nn.Module):
                 tuple(c.upsample_rates), c.upsample_initial_channel,
                 tuple(c.upsample_kernel_sizes), gin_channels=c.gin_channels,
                 name="decoder")
+        if c.nsf:
+            assert c.decoder_type == "hifigan", (
+                "NSF excitation is wired for the hifigan decoder only")
         if c.autoencoder:
             self.spec_decoder = SpecDecoder(c, name="spec_decoder")
             self.spec_proj = Conv1d(c.inter_channels, 1, name="spec_proj")
 
-    def _decode(self, hidden, g=None):
+    def _decode(self, hidden, g=None, exc=None):
+        kw = {}
+        if exc is not None:
+            assert self.cfg.nsf, "excitation passed but cfg.nsf is off"
+            kw["exc"] = exc
         if self.cfg.decoder_bf16:
             # vocoder convs on the MXU in bf16; output back to f32
             return self.decoder(hidden.astype(jnp.bfloat16),
-                                g=g).astype(jnp.float32)
-        return self.decoder(hidden, g=g)
+                                g=g, **kw).astype(jnp.float32)
+        return self.decoder(hidden, g=g, **kw)
 
-    def _latent_to_audio(self, z, y_mask, g=None, deterministic=True):
+    def _excitation(self, log_f0):
+        """Frame-level log1p-F0 [B, T] -> NSF sine source [B, T*hop, 1]."""
+        from .excitation import harmonic_excitation
+        return harmonic_excitation(log_f0, self.cfg.hop_length,
+                                   self.cfg.sampling_rate)
+
+    def _latent_to_audio(self, z, y_mask, g=None, deterministic=True,
+                         log_f0=None):
         if self.cfg.autoencoder:
             spec_predict = self.spec_decoder(z, y_mask,
                                              deterministic=deterministic)
@@ -301,7 +322,9 @@ class VISinger(nn.Module):
         else:
             spec_predict = None
             hidden = z * y_mask
-        return self._decode(hidden, g=g), spec_predict
+        exc = self._excitation(log_f0) if (self.cfg.nsf and log_f0 is not None
+                                           ) else None
+        return self._decode(hidden, g=g, exc=exc), spec_predict
 
     def infer(self, phones, x_lengths, note_ids, note_durations, shengdiao,
               max_frames: int, noise_scale: float = 1.0,
@@ -316,7 +339,7 @@ class VISinger(nn.Module):
         hidden, mel_len, aux = self.infer_hidden(
             phones, x_lengths, note_ids, note_durations, shengdiao,
             max_frames, noise_scale=noise_scale, ph_dur=ph_dur, noise=noise)
-        return self._decode(hidden), mel_len, aux
+        return self._decode(hidden, exc=aux.get("exc")), mel_len, aux
 
     def infer_hidden(self, phones, x_lengths, note_ids, note_durations,
                      shengdiao, max_frames: int, noise_scale: float = 1.0,
@@ -356,26 +379,35 @@ class VISinger(nn.Module):
             hidden = z * y_mask
         aux = {"log_f0": log_f0, "mel_predict": mel_predict,
                "spec_predict": spec_predict, "frames": frames}
+        if c.nsf:
+            # full-length source from the PREDICTED F0; callers slice it
+            # alongside hidden so frame-chunked decodes stay phase-continuous
+            aux["exc"] = self._excitation(log_f0 * y_mask[..., 0])
         return hidden, mel_len, aux
 
-    def decode_hidden(self, hidden, g=None):
+    def decode_hidden(self, hidden, g=None, exc=None):
         """Vocoder decoder only (pairs with infer_hidden)."""
-        return self._decode(hidden, g=g)
+        return self._decode(hidden, g=g, exc=exc)
 
     def infer_fake(self, spec, y_lengths, max_len: Optional[int] = None,
-                   noise=None):
+                   noise=None, log_f0=None):
         """Copy-synthesis: real spectrogram -> posterior z -> waveform
         (parity: models.py:686-693 == models_ae.py:664-672 — both variants
         feed z straight into the HiFi-GAN decoder, bypassing the AE spec
-        decoder). Useful for vocoder-quality checks."""
+        decoder). Useful for vocoder-quality checks. log_f0: ground-truth
+        frame F0 for the NSF source (required for cfg.nsf models)."""
         y_mask = feature_mask(y_lengths, spec.shape[1])
         z, _, _, _ = self.spec_encoder(spec, y_mask, noise=noise)
         z = z * y_mask
+        exc = (self._excitation(log_f0) if (self.cfg.nsf and
+                                            log_f0 is not None) else None)
         if max_len is not None:  # mask sliced with z (they must broadcast)
             z, y_mask = z[:, :max_len], y_mask[:, :max_len]
-        return self._decode(z), y_mask, z
+            if exc is not None:
+                exc = exc[:, : max_len * self.cfg.hop_length]
+        return self._decode(z, exc=exc), y_mask, z
 
-    def copy_synthesis(self, spec, y_lengths, noise=None):
+    def copy_synthesis(self, spec, y_lengths, noise=None, log_f0=None):
         """Spectrogram -> posterior z -> the TRAINED decode path
         (z -> spec decoder -> decoder in the AE variant) -> waveform.
 
@@ -383,10 +415,11 @@ class VISinger(nn.Module):
         bypass verbatim (models_ae.py:664-672, pre-AE code that never sees
         the AE model's real decoder input) — this is the path the training
         objective optimizes, so it is the meaningful reconstruction-quality
-        probe (tools/eval_copy_synthesis.py)."""
+        probe (tools/eval_copy_synthesis.py). log_f0: ground-truth frame F0
+        for the NSF source (required for cfg.nsf models)."""
         y_mask = feature_mask(y_lengths, spec.shape[1])
         z, _, _, _ = self.spec_encoder(spec, y_mask, noise=noise)
-        audio, _ = self._latent_to_audio(z, y_mask)
+        audio, _ = self._latent_to_audio(z, y_mask, log_f0=log_f0)
         return audio, y_mask, z
 
     def voice_conversion(self, spec, y_lengths, g_src=None, g_tgt=None):
@@ -402,7 +435,8 @@ class VISinger(nn.Module):
 
     def __call__(self, phones, x_lengths, spec, y_lengths, note_ids,
                  note_durations, f0_score, phone_durations, shengdiao,
-                 deterministic: bool = False, use_mas: bool = False):
+                 deterministic: bool = False, use_mas: bool = False,
+                 log_f0=None):
         """Training forward (parity: models_ae.py forward).
 
         use_mas=True replaces the ground-truth ``phone_durations`` with
@@ -455,7 +489,14 @@ class VISinger(nn.Module):
 
         z_slice, ids_slice = rand_slice_segments(
             self.make_rng("slice"), dec_input, y_lengths, c.segment_frames)
-        audio = self.decoder(z_slice)
+        if c.nsf:
+            assert log_f0 is not None, "cfg.nsf training needs batch log_f0"
+            from ...core.masking import slice_segments
+            exc = slice_segments(self._excitation(log_f0),
+                                 ids_slice * c.hop_length, c.segment_size)
+            audio = self.decoder(z_slice, exc=exc)
+        else:
+            audio = self.decoder(z_slice)
 
         return {
             "audio": audio,

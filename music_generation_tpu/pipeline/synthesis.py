@@ -133,7 +133,7 @@ class SVSSynthesizer:
                 rngs={"noise": noise_key})
         return jax.jit(run)
 
-    def _chunked_decode(self, params, hidden):
+    def _chunked_decode(self, params, hidden, exc=None):
         """Vocoder decode as a lax.scan over frame windows with halo +
         center crop — trace-time helper used inside the jitted batch
         program. Bit-exact vs the monolithic decode: window starts are
@@ -147,7 +147,7 @@ class SVSSynthesizer:
         b, f, c = hidden.shape
         win = chunk + 2 * halo
         if f <= win:
-            return self.model.apply(params, hidden,
+            return self.model.apply(params, hidden, exc=exc,
                                     method=VISinger.decode_hidden)
         n = -(-f // chunk)
         out_starts = jnp.minimum(jnp.arange(n) * chunk, f - chunk)
@@ -157,7 +157,12 @@ class SVSSynthesizer:
         def step(buf, xs):
             ws, off, outs = xs
             w = jax.lax.dynamic_slice(hidden, (0, ws, 0), (b, win, c))
-            y = self.model.apply(params, w, method=VISinger.decode_hidden)
+            # the NSF source is precomputed at FULL length, so windowing it
+            # here keeps the phase continuous across chunk boundaries
+            e = (None if exc is None else jax.lax.dynamic_slice(
+                exc, (0, ws * hop, 0), (b, win * hop, 1)))
+            y = self.model.apply(params, w, exc=e,
+                                 method=VISinger.decode_hidden)
             piece = jax.lax.dynamic_slice(
                 y, (0, off * hop, 0), (b, chunk * hop, y.shape[-1]))
             return jax.lax.dynamic_update_slice(
@@ -186,12 +191,13 @@ class SVSSynthesizer:
             note_durations = jax.lax.bitcast_convert_type(packed[4],
                                                           jnp.float32)
             if self.decode_chunk_frames:
-                hidden, mel_len, _ = self.model.apply(
+                hidden, mel_len, aux = self.model.apply(
                     params, phones=phones, x_lengths=x_lengths,
                     note_ids=note_ids, note_durations=note_durations,
                     shengdiao=shengdiao, max_frames=max_frames,
                     method=VISinger.infer_hidden, rngs={"noise": noise_key})
-                audio = self._chunked_decode(params, hidden)
+                audio = self._chunked_decode(params, hidden,
+                                             exc=aux.get("exc"))
             else:
                 audio, mel_len, _ = self.model.apply(
                     params, phones=phones, x_lengths=x_lengths,

@@ -78,6 +78,19 @@ def main(argv=None):
                    help="write spectrogram heatmaps (predicted vs target) "
                         "with each metrics log (TB + PNGs under "
                         "<ckpt-dir>/logs/images)")
+    p.add_argument("--c-dc", type=float, default=None,
+                   help="DC-drift penalty weight on generated segments "
+                        "(default TrainConfig.c_dc; guards the output tanh "
+                        "against the DC-rail saturation death state)")
+    p.add_argument("--disc-input-noise", type=float, default=None,
+                   help="instance-noise sigma added to both real and fake "
+                        "discriminator inputs (keeps the disc game alive on "
+                        "synthetically clean corpora)")
+    p.add_argument("--nsf", action="store_true",
+                   help="NSF harmonic excitation: condition the vocoder on "
+                        "a sample-rate sine source at the target F0 "
+                        "(models/svs/excitation.py) — fixes the plain "
+                        "decoder's inability to phase-track held notes")
     p.add_argument("--decoder", default="hifigan",
                    choices=["hifigan", "istft", "mb_istft"],
                    help="vocoder decoder family (istft variants trade the "
@@ -121,6 +134,9 @@ def main(argv=None):
             svs_cfg = _dc.replace(svs_cfg, decoder_type=args.decoder, **extra)
         else:
             svs_cfg = _dc.replace(svs_cfg, decoder_type=args.decoder)
+    if args.nsf:
+        import dataclasses as _dc
+        svs_cfg = _dc.replace(svs_cfg, nsf=True)
 
     tcfg = TrainConfig(accumulate_grad_batches=args.accumulate_grad_batches,
                        bf16_run=args.bf16, use_mas=args.durations == "mas",
@@ -131,7 +147,9 @@ def main(argv=None):
                        ("c_fm", args.c_fm), ("c_mel", args.c_mel),
                        ("c_spec", args.c_spec), ("learning_rate", args.lr),
                        ("warmup_steps", args.warmup_steps),
-                       ("grad_clip_norm", args.grad_clip_norm)):
+                       ("grad_clip_norm", args.grad_clip_norm),
+                       ("c_dc", args.c_dc),
+                       ("disc_input_noise", args.disc_input_noise)):
         if val is not None:
             tcfg = _dc.replace(tcfg, **{field: val})
     n_dev = len(jax.devices())

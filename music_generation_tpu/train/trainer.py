@@ -88,6 +88,20 @@ class TrainConfig:
     # discriminator learning-rate multiplier (GAN balance knob: <1 slows the
     # discriminator when it collapses the adversarial signal)
     disc_lr_scale: float = 1.0
+    # DC-drift penalty on the generated segment: mean_t(audio)^2 * c_dc.
+    # The mel loss rewards cheap low-band energy, and the lowest-cost way
+    # for the decoder to produce it is a DC rail — which then saturates the
+    # output tanh and kills every waveform-loss gradient permanently. This
+    # term removes the reward while gradients are still alive (it cannot
+    # CURE saturation: it flows through the same dead tanh).
+    c_dc: float = 10.0
+    # instance noise: iid Gaussian added to BOTH real and fake waveforms at
+    # the discriminator input. On synthetically clean corpora (the toy sine
+    # singer) the disc game is otherwise unwinnable — any GAN noise floor
+    # identifies the fake, the disc saturates (loss_disc ~1e-3) and the
+    # adversarial gradient degenerates. Noise keeps the real/fake supports
+    # overlapping so D stays near its decision boundary.
+    disc_input_noise: float = 0.0
     # emit spectrogram images with the metrics (parity: the reference's
     # TensorBoard image summaries, VISinger/utils/utils.py:93-146)
     log_images: bool = False
@@ -139,7 +153,8 @@ def create_states(svs_cfg: SVSConfig, train_cfg: TrainConfig, batch_example,
         batch_example["spec"], batch_example["y_lengths"],
         batch_example["note_ids"], batch_example["note_durations"],
         batch_example["f0_score"], batch_example["phone_durations"],
-        batch_example["shengdiao"], deterministic=True)
+        batch_example["shengdiao"], deterministic=True,
+        log_f0=batch_example["log_f0"])
     seg = svs_cfg.segment_size
     disc_vars = disc.init(k5, jnp.zeros((1, seg, 1)), jnp.zeros((1, seg, 1)))
     gen_state = TrainState.create(apply_fn=gen.apply, params=gen_vars["params"],
@@ -183,11 +198,19 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
                         batch["note_durations"], batch["f0_score"],
                         batch["phone_durations"], batch["shengdiao"],
                         deterministic=False, use_mas=train_cfg.use_mas,
+                        log_f0=batch["log_f0"],
                         rngs={"noise": k_noise, "slice": k_slice,
                               "dropout": k_drop})
         return _to_f32(out) if train_cfg.bf16_run else out
 
-    def disc_apply(disc_params, y_real, y_fake):
+    def disc_apply(disc_params, y_real, y_fake, noise_rng=None):
+        if noise_rng is not None and train_cfg.disc_input_noise > 0.0:
+            kr, kf = jax.random.split(noise_rng)
+            s = train_cfg.disc_input_noise
+            y_real = y_real + s * jax.random.normal(kr, y_real.shape,
+                                                    y_real.dtype)
+            y_fake = y_fake + s * jax.random.normal(kf, y_fake.shape,
+                                                    y_fake.dtype)
         if train_cfg.bf16_run:
             disc_params = _to_bf16(disc_params)
             y_real = y_real.astype(jnp.bfloat16)
@@ -195,19 +218,20 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
         out = disc.apply({"params": disc_params}, y_real, y_fake)
         return _to_f32(out) if train_cfg.bf16_run else out
 
-    def disc_loss_fn(disc_params, gen_out, batch):
+    def disc_loss_fn(disc_params, gen_out, batch, noise_rng=None):
         y_real = _slice_real_audio(batch["audio"], gen_out["ids_slice"],
                                    svs_cfg.segment_size, svs_cfg.hop_length)
         y_fake = jax.lax.stop_gradient(gen_out["audio"])
-        d_real, d_fake, _, _ = disc_apply(disc_params, y_real, y_fake)
+        d_real, d_fake, _, _ = disc_apply(disc_params, y_real, y_fake,
+                                          noise_rng=noise_rng)
         return losses.discriminator_adv_loss(d_real, d_fake)
 
-    def gen_loss_fn(gen_params, disc_params, batch, rng):
+    def gen_loss_fn(gen_params, disc_params, batch, rng, noise_rng=None):
         out = gen_forward(gen_params, batch, rng)
         y_real = _slice_real_audio(batch["audio"], out["ids_slice"],
                                    svs_cfg.segment_size, svs_cfg.hop_length)
         d_real, d_fake, fmap_r, fmap_g = disc_apply(
-            disc_params, y_real, out["audio"])
+            disc_params, y_real, out["audio"], noise_rng=noise_rng)
 
         mel_real = mel_spectrogram(y_real[..., 0], svs_cfg.sampling_rate,
                                    hop=svs_cfg.hop_length)
@@ -235,10 +259,20 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
                               out["y_mask"][..., 0])
         l_adv = losses.generator_adv_loss(d_fake) * train_cfg.c_adv
         l_fm = losses.feature_matching_loss(fmap_r, fmap_g) * train_cfg.c_fm
-        total = l_mel + l_kl + l_kl_rev + l_dur + l_f0 + l_adv + l_fm
+        # DC-drift penalty: see TrainConfig.c_dc
+        l_dc = jnp.mean(jnp.mean(out["audio"][..., 0], axis=1) ** 2) \
+            * train_cfg.c_dc
+        total = l_mel + l_kl + l_kl_rev + l_dur + l_f0 + l_adv + l_fm + l_dc
         metrics = {"loss_gen": total, "loss_mel": l_mel, "loss_kl": l_kl,
                    "loss_kl_rev": l_kl_rev, "loss_dur": l_dur,
-                   "loss_f0": l_f0, "loss_adv": l_adv, "loss_fm": l_fm}
+                   "loss_f0": l_f0, "loss_adv": l_adv, "loss_fm": l_fm,
+                   "loss_dc": l_dc,
+                   # tanh-saturation telemetry: a healthy decoder stays well
+                   # inside |y|<0.95; sat_frac ramping toward 1 is the
+                   # death-state signature (gradients about to vanish)
+                   "audio_dc": jnp.mean(out["audio"]),
+                   "audio_sat_frac": jnp.mean(
+                       (jnp.abs(out["audio"]) > 0.95).astype(jnp.float32))}
         if svs_cfg.autoencoder:
             c_spec = (train_cfg.c_spec if train_cfg.c_spec is not None
                       else train_cfg.c_mel)
@@ -257,7 +291,7 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
         return total, (out, metrics)
 
     def train_step(gen_state, disc_state, batch, rng):
-        rng_d, rng_g = jax.random.split(rng)
+        rng_d, rng_g, rng_nd, rng_ng = jax.random.split(rng, 4)
         if train_cfg.c_adv == 0.0:
             # pure-regression phase: no discriminator update (the gen loss
             # still runs disc_apply for the — zero-weighted — terms, but no
@@ -267,12 +301,12 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
             # --- discriminator step (fresh generator sample) ---
             gen_out = gen_forward(gen_state.params, batch, rng_d)
             d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
-                disc_state.params, gen_out, batch)
+                disc_state.params, gen_out, batch, noise_rng=rng_nd)
             disc_state = disc_state.apply_gradients(grads=d_grads)
         # --- generator step ---
         (g_loss, (_, metrics)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(gen_state.params, disc_state.params,
-                                       batch, rng_g)
+                                       batch, rng_g, noise_rng=rng_ng)
         gen_state = gen_state.apply_gradients(grads=g_grads)
         metrics["loss_disc"] = d_loss
         return gen_state, disc_state, metrics

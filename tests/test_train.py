@@ -264,3 +264,29 @@ def test_pure_regression_phase_freezes_disc(setup):
     g0 = jax.tree_util.tree_leaves(gen_state.params)[0]
     g1 = jax.tree_util.tree_leaves(g2.params)[0]
     assert np.abs(np.asarray(g0 - g1)).max() > 0
+
+
+def test_saturation_guards(setup):
+    """Round-3 stability additions: small-init conv_post (decoder starts in
+    tanh's linear region), DC penalty + saturation telemetry in the metrics,
+    and instance noise at the discriminator input."""
+    batch, gen_state, disc_state, _ = setup
+    # small-init output projection (~1e-2 of the default lecun scale)
+    cp = np.asarray(gen_state.params["decoder"]["conv_post"]["kernel"])
+    assert 0.0 < float(np.abs(cp).max()) < 5e-3
+    # telemetry + DC penalty present; near-zero output => no saturation
+    tcfg = TrainConfig()
+    from music_generation_tpu.train import make_train_step as mts
+    from music_generation_tpu.models.svs import (MultiPeriodDiscriminator,
+                                                 VISinger)
+    gen, disc = VISinger(TINY), MultiPeriodDiscriminator()
+    step = jax.jit(mts(gen, disc, TINY, tcfg))
+    _, _, m = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    assert {"loss_dc", "audio_dc", "audio_sat_frac"} <= set(m)
+    assert float(m["audio_sat_frac"]) == 0.0
+    assert float(m["loss_dc"]) < 1e-4
+    # instance noise: same params/batch/rng, noisy disc inputs change d_loss
+    noisy = jax.jit(mts(gen, disc, TINY,
+                        TrainConfig(disc_input_noise=0.05)))
+    _, _, m2 = noisy(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    assert float(m2["loss_disc"]) != float(m["loss_disc"])

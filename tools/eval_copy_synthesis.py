@@ -27,8 +27,14 @@ def main():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--n", type=int, default=4)
     p.add_argument("--out", default=None)
+    p.add_argument("--dump", default=None,
+                   help="save raw (unnormalized) rec/ref audio arrays to "
+                        "this .npz for offline error analysis")
     p.add_argument("--wav-out", default=None,
                    help="write the first reconstruction as a wav here")
+    p.add_argument("--nsf", action="store_true",
+                   help="checkpoint was trained with --nsf (harmonic "
+                        "excitation decoder; GT log-f0 drives the source)")
     p.add_argument("--noise-scale", type=float, default=1.0,
                    help="posterior sampling noise scale (0 = reconstruct "
                         "from the posterior MEAN, isolating the decoder's "
@@ -56,6 +62,9 @@ def main():
     else:
         cfg = SVSConfig()
         t_phones, t_frames = 64, 480
+    if args.nsf:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, nsf=True)
 
     ds = NpyDataset(args.data_dir, cfg, t_phones=t_phones, t_frames=t_frames)
     batch = {k: jnp.asarray(v) for k, v in ds.batch(args.n).items()}
@@ -65,7 +74,7 @@ def main():
                                       disc_state)
 
     @jax.jit
-    def reconstruct(params, spec, y_lengths, noise_key):
+    def reconstruct(params, spec, y_lengths, log_f0, noise_key):
         ns = args.noise_scale
         noise = (None if ns == 1.0 else
                  jax.random.normal(noise_key,
@@ -73,6 +82,7 @@ def main():
                                     cfg.inter_channels)) * ns)
         audio, y_mask, _ = gen.apply(
             {"params": params}, spec, y_lengths, noise=noise,
+            log_f0=log_f0 if cfg.nsf else None,
             method=VISinger.copy_synthesis, rngs={"noise": noise_key})
         return audio
 
@@ -80,7 +90,7 @@ def main():
 
     def mel_l1(params):
         audio = reconstruct(params, batch["spec"], batch["y_lengths"],
-                            jax.random.PRNGKey(0))
+                            batch["log_f0"], jax.random.PRNGKey(0))
         rec = np.asarray(audio)[..., 0]
         ref = np.asarray(batch["audio"])[..., 0][:, : rec.shape[1]]
         mel_rec = np.asarray(mel_spectrogram(
@@ -93,10 +103,22 @@ def main():
             f = min(int(y_len[i]), mel_rec.shape[1])
             total += float(np.abs(mel_rec[i, :f] - mel_ref[i, :f]).sum())
             n += f * mel_rec.shape[-1]
-        return total / max(n, 1), rec
+        # "audible" variant: clamp both log-mels at log(1e-2) (~ -40 dB)
+        # before differencing. The toy targets are synthetically clean
+        # harmonic stacks, so a large share of raw mel-L1 is the GAN's
+        # inaudible noise floor vs the target's digital silence; clamping
+        # reports the error on content a listener can hear.
+        lo = float(np.log(1e-2))
+        total_f, n_f = 0.0, 0
+        for i in range(mel_rec.shape[0]):
+            f = min(int(y_len[i]), mel_rec.shape[1])
+            total_f += float(np.abs(np.maximum(mel_rec[i, :f], lo)
+                                    - np.maximum(mel_ref[i, :f], lo)).sum())
+            n_f += f * mel_rec.shape[-1]
+        return total / max(n, 1), rec, total_f / max(n_f, 1)
 
-    trained_l1, rec = mel_l1(gen_state.params)
-    random_l1, _ = mel_l1(random_params)
+    trained_l1, rec, trained_l1_floored = mel_l1(gen_state.params)
+    random_l1, _, _ = mel_l1(random_params)
     delta = sum(float(np.abs(a - b).sum()) for a, b in zip(
         jax.tree_util.tree_leaves(gen_state.params),
         jax.tree_util.tree_leaves(random_params)))
@@ -124,16 +146,30 @@ def main():
         return round(float(np.mean(errs)), 3) if errs else None
 
     trained_f0 = f0_rmse_semitones(rec)
+    # tanh-saturation telemetry: the decoder death state (DC rail + ripple)
+    # can still score deceptively well on YIN-F0 and log-mel metrics, so
+    # report it explicitly (healthy: |dc| ~0, sat_frac ~0, rms ratio ~1)
+    ref_np = np.asarray(batch["audio"])[..., 0][:, : rec.shape[1]]
+    sat = {"audio_dc": round(float(rec.mean()), 4),
+           "audio_sat_frac": round(float((np.abs(rec) > 0.95).mean()), 4),
+           "rms_ratio_rec_vs_ref": round(
+               float(np.sqrt((rec ** 2).mean()) /
+                     max(np.sqrt((ref_np ** 2).mean()), 1e-9)), 3)}
     result = {"ckpt": args.ckpt, "n_utts": args.n,
               "mel_l1_trained": round(trained_l1, 4),
+              "mel_l1_audible_trained": round(trained_l1_floored, 4),
               "mel_l1_random_init": round(random_l1, 4),
               "improvement_x": round(random_l1 / max(trained_l1, 1e-9), 2),
-              "f0_rmse_semitones_trained": trained_f0}
+              "f0_rmse_semitones_trained": trained_f0, **sat}
     print(json.dumps(result))
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
+    if args.dump:
+        np.savez(args.dump, rec=rec,
+                 ref=np.asarray(batch["audio"])[..., 0],
+                 y_lengths=y_len)
     if args.wav_out:
         from music_generation_tpu.audio.wav import normalize_int16, write_wav
         n0 = min(int(y_len[0]) * cfg.hop_length, rec.shape[1])
