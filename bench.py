@@ -138,7 +138,7 @@ def main():
     #  - chunked-decode b=32: frame-windowed vocoder decode bounds the
     #    HiFi-GAN activations, lifting the b=16 HBM cap (synthesis.py
     #    _chunked_decode); one call instead of two per 32 sentences
-    tp_istft = tp_b32 = None
+    tp_istft = tp_b32 = tp_best = None
     try:
         import dataclasses as _dc
         from music_generation_tpu.pipeline.synthesis import SVSSynthesizer
@@ -155,6 +155,13 @@ def main():
         tp_b32 = round(a / t, 1)
     except Exception as e:
         print(f"chunked b=32 row failed: {type(e).__name__}", flush=True)
+    try:  # both together: cheapest decoder at the biggest batch
+        best = SVSSynthesizer(icfg, params=isvs.params, seed=0,
+                              decode_chunk_frames=128, max_batch=32)
+        t, a = timed_throughput(best, big)
+        tp_best = round(a / t, 1)
+    except Exception as e:
+        print(f"best-config row failed: {type(e).__name__}", flush=True)
 
     print(json.dumps({
         "metric": "e2e_song_latency_s",
@@ -179,6 +186,7 @@ def main():
                                if bw_pct is not None else None),
         "throughput_audio_s_per_s_mb_istft": tp_istft,
         "throughput_audio_s_per_s_b32_chunked": tp_b32,
+        "throughput_audio_s_per_s_best": tp_best,
         "warmup_s": round(warmup_s, 2),
         "build_s": round(build_s, 2),
     }))

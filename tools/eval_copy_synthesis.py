@@ -155,6 +155,14 @@ def main():
            "rms_ratio_rec_vs_ref": round(
                float(np.sqrt((rec ** 2).mean()) /
                      max(np.sqrt((ref_np ** 2).mean()), 1e-9)), 3)}
+    # explicit verdict so a railed decoder can't hide behind good-looking
+    # mel/F0 numbers in a committed artifact
+    sat["dc_railed"] = bool(abs(sat["audio_dc"]) > 0.5
+                            or sat["audio_sat_frac"] > 0.5)
+    if sat["dc_railed"]:
+        print("WARNING: reconstruction is DC-railed/saturated — the mel-L1 "
+              "and F0 numbers below are NOT valid quality evidence",
+              file=sys.stderr)
     result = {"ckpt": args.ckpt, "n_utts": args.n,
               "mel_l1_trained": round(trained_l1, 4),
               "mel_l1_audible_trained": round(trained_l1_floored, 4),
