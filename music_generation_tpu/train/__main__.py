@@ -186,10 +186,16 @@ def main(argv=None):
 
     batch = next_batch(0)
     gen_state, disc_state, gen, disc = create_states(svs_cfg, tcfg, batch)
+    start_step = 0
     if args.resume:
         gen_state, disc_state = restore_checkpoint(args.resume, gen_state,
                                                    disc_state)
-        print(f"resumed from {args.resume} at step {int(gen_state.step)}")
+        # the loop counter below restarts at 0 (--steps means ADDITIONAL
+        # steps); offset checkpoint/metric step numbers by the restored
+        # optimizer step so a same-dir resume extends the run instead of
+        # overwriting its earlier checkpoints
+        start_step = int(gen_state.step)
+        print(f"resumed from {args.resume} at step {start_step}")
 
     train_step = make_train_step(gen, disc, svs_cfg, tcfg)
     rng = jax.random.PRNGKey(tcfg.seed)
@@ -226,17 +232,18 @@ def main(argv=None):
                     m = {k: round(float(v), 4) for k, v in metrics.items()
                          if getattr(v, "ndim", 0) == 0}
                     dt = time.time() - t0
-                    print(f"step {step} ({dt:.1f}s): {m}")
-                    metrics_writer.write(step, metrics)
+                    print(f"step {start_step + step} ({dt:.1f}s): {m}")
+                    metrics_writer.write(start_step + step, metrics)
                 if args.ckpt_every and step and step % args.ckpt_every == 0:
                     save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state,
-                                    disc_state, step, keep_last=args.keep_last,
+                                    disc_state, start_step + step,
+                                    keep_last=args.keep_last,
                                     metric=float(metrics["loss_mel"]))
         finally:
             if feed is not None:  # stop the producer on consumer error too
                 feed.close()
         save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state, disc_state,
-                        args.steps, keep_last=args.keep_last,
+                        start_step + args.steps, keep_last=args.keep_last,
                         metric=(float(metrics["loss_mel"])
                                 if metrics is not None else None))
         total = time.time() - t0
