@@ -82,6 +82,9 @@ def main(argv=None):
                    help="DC-drift penalty weight on generated segments "
                         "(default TrainConfig.c_dc; guards the output tanh "
                         "against the DC-rail saturation death state)")
+    p.add_argument("--disc-loss-floor", type=float, default=None,
+                   help="pause discriminator updates while loss_disc is "
+                        "below this value (D has decisively won); 0 = off")
     p.add_argument("--disc-input-noise", type=float, default=None,
                    help="instance-noise sigma added to both real and fake "
                         "discriminator inputs (keeps the disc game alive on "
@@ -149,6 +152,7 @@ def main(argv=None):
                        ("warmup_steps", args.warmup_steps),
                        ("grad_clip_norm", args.grad_clip_norm),
                        ("c_dc", args.c_dc),
+                       ("disc_loss_floor", args.disc_loss_floor),
                        ("disc_input_noise", args.disc_input_noise)):
         if val is not None:
             tcfg = _dc.replace(tcfg, **{field: val})

@@ -102,6 +102,13 @@ class TrainConfig:
     # adversarial gradient degenerates. Noise keeps the real/fake supports
     # overlapping so D stays near its decision boundary.
     disc_input_noise: float = 0.0
+    # pause discriminator updates while its loss is below this floor (i.e.
+    # while D has decisively won). Complements disc_lr_scale/instance noise:
+    # observed toy-set runs reach loss_disc ~0.005 with loss_adv ~6 (D(fake)
+    # pinned at 0) by step ~300, after which adversarial gradients are
+    # noise. 0 disables. Implemented as a branchless state freeze so it
+    # stays jit/pjit-compatible.
+    disc_loss_floor: float = 0.0
     # emit spectrogram images with the metrics (parity: the reference's
     # TensorBoard image summaries, VISinger/utils/utils.py:93-146)
     log_images: bool = False
@@ -302,7 +309,17 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
             gen_out = gen_forward(gen_state.params, batch, rng_d)
             d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
                 disc_state.params, gen_out, batch, noise_rng=rng_nd)
-            disc_state = disc_state.apply_gradients(grads=d_grads)
+            new_disc = disc_state.apply_gradients(grads=d_grads)
+            if train_cfg.disc_loss_floor > 0.0:
+                # freeze D (params + optimizer state + step) while it has
+                # decisively won; resumes automatically once G pushes
+                # loss_disc back above the floor
+                live = d_loss >= train_cfg.disc_loss_floor
+                disc_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(live, new, old),
+                    new_disc, disc_state)
+            else:
+                disc_state = new_disc
         # --- generator step ---
         (g_loss, (_, metrics)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(gen_state.params, disc_state.params,

@@ -167,6 +167,37 @@ def test_disc_lr_scale():
     assert np.abs(np.asarray(g_leaves0 - g_leaves1)).max() > 0
 
 
+def test_disc_loss_floor_freezes_winning_disc():
+    """disc_loss_floor pauses the discriminator update (params AND
+    optimizer step) while loss_disc is below the floor; a floor below the
+    actual loss leaves updates untouched."""
+    import dataclasses
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(TINY, batch=2, t_phones=8,
+                                         t_frames=32).items()}
+    # at init loss_disc ~ 6 (LSGAN, D(real)=D(fake)=0): a floor of 100 is
+    # always above it -> frozen; a floor of 1e-6 is always below -> live
+    tcfg_hi = dataclasses.replace(TrainConfig(), disc_loss_floor=100.0)
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg_hi, batch)
+    step = jax.jit(make_train_step(gen, disc, TINY, tcfg_hi))
+    _, d2, m = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    assert float(m["loss_disc"]) < 100.0
+    assert int(d2.step) == int(disc_state.step)  # optimizer step frozen too
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree_util.tree_leaves(disc_state.params),
+                               jax.tree_util.tree_leaves(d2.params)))
+
+    tcfg_lo = dataclasses.replace(TrainConfig(), disc_loss_floor=1e-6)
+    step_lo = jax.jit(make_train_step(gen, disc, TINY, tcfg_lo))
+    _, d3, _ = step_lo(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    assert int(d3.step) == int(disc_state.step) + 1
+    changed = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(jax.tree_util.tree_leaves(disc_state.params),
+                        jax.tree_util.tree_leaves(d3.params)))
+    assert changed
+
+
 def test_grad_accumulation(setup):
     """accumulate_grad_batches=2: params change only after the 2nd step
     (pl_utils accumulate_grad_batches parity via optax.MultiSteps)."""
