@@ -96,13 +96,25 @@ def yin_f0(wav: np.ndarray, sample_rate: int = 22050, hop: int = 256,
     return f0.astype(np.float32)
 
 
+def yin_f0_fast(wav: np.ndarray, sample_rate: int = 22050, hop: int = 256,
+                **kw) -> np.ndarray:
+    """yin_f0 via the native C++/OpenMP kernel when available (the
+    preprocessing hot loop for real corpora; runtime/native/yin.cc is an
+    exact algorithmic twin, parity-tested), numpy otherwise."""
+    try:
+        from ..runtime.native_loader import yin_f0_native
+        return yin_f0_native(wav, sample_rate=sample_rate, hop=hop, **kw)
+    except Exception:
+        return yin_f0(wav, sample_rate=sample_rate, hop=hop, **kw)
+
+
 def f0_targets(wav: np.ndarray, sample_rate: int = 22050, hop: int = 256,
                **kw) -> tuple:
     """(log_f0, f0_score) training targets: log(1+f0) and the 256-bin coarse
     quantization the model's F0 embedding consumes
     (frontend/pitch.f0_to_coarse; parity VISinger/utils/pitch_utils.py:22)."""
     from ..frontend.pitch import f0_to_coarse
-    f0 = yin_f0(wav, sample_rate=sample_rate, hop=hop, **kw)
+    f0 = yin_f0_fast(wav, sample_rate=sample_rate, hop=hop, **kw)
     log_f0 = np.log1p(f0).astype(np.float32)
     f0_score = f0_to_coarse(f0).astype(np.int32)
     return log_f0, f0_score

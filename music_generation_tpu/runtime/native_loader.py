@@ -53,13 +53,37 @@ def _load():
         lib.idx_reader_gather.restype = None
         lib.idx_reader_close.argtypes = [c.c_void_p]
         lib.idx_reader_close.restype = None
+        lib.yin_f0_c.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int,
+            c.c_float, c.c_float, c.c_float, c.POINTER(c.c_float), c.c_int64]
+        lib.yin_f0_c.restype = None
     except AttributeError:
-        pass  # stale .so without the dataset symbols; callers fall back
+        pass  # stale .so without the newer symbols; callers fall back
     return lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def yin_f0_native(wav: np.ndarray, sample_rate: int = 22050, hop: int = 256,
+                  frame_length: int = 2048, fmin: float = 60.0,
+                  fmax: float = 1000.0,
+                  threshold: float = 0.15) -> np.ndarray:
+    """Same contract as audio.f0.yin_f0, but C++/OpenMP (native/yin.cc)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "yin_f0_c"):
+        raise RuntimeError("native library unavailable or stale")
+    wav = np.ascontiguousarray(np.asarray(wav).reshape(-1), dtype=np.float32)
+    n_frames = 1 + len(wav) // hop
+    out = np.zeros(n_frames, dtype=np.float32)
+    lib.yin_f0_c(
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(wav)), sample_rate, hop, frame_length,
+        ctypes.c_float(fmin), ctypes.c_float(fmax), ctypes.c_float(threshold),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n_frames))
+    return out
 
 
 def maximum_path_native(neg_cent: np.ndarray, mask: np.ndarray) -> np.ndarray:

@@ -40,6 +40,28 @@ def test_yin_recovers_harmonic_f0_within_5hz(true_f0):
     assert np.abs(voiced - true_f0).max() < 5.0
 
 
+def test_native_yin_matches_numpy():
+    """runtime/native/yin.cc is an algorithmic twin of audio/f0.yin_f0:
+    same voicing decisions and sub-0.1 Hz lag agreement on harmonic audio
+    (the FFT-vs-direct correlation differ only by fp rounding; decision
+    boundaries on real audio are far from the threshold)."""
+    from music_generation_tpu.runtime.native_loader import (native_available,
+                                                            yin_f0_native)
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    parts = [_harmonic(f, seconds=0.5, seed=i)
+             for i, f in enumerate((110.0, 220.0, 330.5, 523.25))]
+    silence = np.zeros(SR // 4, np.float32)
+    wav = np.concatenate([silence] + parts + [silence])
+    ref = yin_f0(wav, SR)
+    fast = yin_f0_native(wav, SR)
+    assert fast.shape == ref.shape
+    agree = (ref > 0) == (fast > 0)
+    assert agree.mean() > 0.99, agree.mean()
+    both = (ref > 0) & (fast > 0)
+    assert np.abs(ref[both] - fast[both]).max() < 0.1
+
+
 def test_yin_silence_is_unvoiced():
     assert (yin_f0(np.zeros(SR), SR) == 0).all()
 
