@@ -50,6 +50,23 @@ def write_wav_bytes(wav: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
     return data
 
 
+def streaming_wav_header(sample_rate: int = SAMPLE_RATE,
+                         channels: int = 1, bits: int = 16) -> bytes:
+    """WAV header for a stream of unknown length: RIFF/data sizes are set
+    to the 0xFFFFFFFF sentinel players treat as 'read until EOF' (the
+    convention of live PCM-WAV streams — a stream can't seek back to patch
+    the sizes)."""
+    import struct
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                             byte_rate, block_align, bits),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
+
+
 def write_wav(path: str, wav: np.ndarray, sample_rate: int = SAMPLE_RATE) -> None:
     wavfile.write(path, sample_rate, np.asarray(wav).astype(np.int16))
 

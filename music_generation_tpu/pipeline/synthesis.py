@@ -245,6 +245,85 @@ class SVSSynthesizer:
         n_samples = int(mel_len[0]) * self.cfg.hop_length
         return np.asarray(audio[0, :n_samples, 0], dtype=np.float64)
 
+    # fixed streaming gain: the decoder output is tanh-bounded to (-1, 1),
+    # so a constant scale is safe; a stream cannot use the per-sentence
+    # peak normalization of synthesize_batch (the peak is in the future)
+    STREAM_GAIN = 0.95 * 32767.0
+
+    @functools.lru_cache(maxsize=32)
+    def _compiled_hidden(self, max_frames: int):
+        def run(params, noise_key, phones, x_lengths, note_ids,
+                note_durations, shengdiao):
+            return self.model.apply(
+                params, phones=phones, x_lengths=x_lengths,
+                note_ids=note_ids, note_durations=note_durations,
+                shengdiao=shengdiao, max_frames=max_frames,
+                method=VISinger.infer_hidden, rngs={"noise": noise_key})
+        return jax.jit(run)
+
+    @functools.lru_cache(maxsize=8)
+    def _compiled_stream_window(self, win: int, has_exc: bool):
+        hop = self.cfg.hop_length
+
+        def run(params, hidden, exc, ws):
+            b, _, c = hidden.shape
+            w = jax.lax.dynamic_slice(hidden, (0, ws, 0), (b, win, c))
+            e = (jax.lax.dynamic_slice(exc, (0, ws * hop, 0),
+                                       (b, win * hop, 1))
+                 if has_exc else None)
+            y = self.model.apply(params, w, exc=e,
+                                 method=VISinger.decode_hidden)
+            return jnp.clip(y[..., 0] * self.STREAM_GAIN,
+                            -32768.0, 32767.0).astype(jnp.int16)
+        return jax.jit(run)
+
+    def stream_score(self, score, chunk_frames: Optional[int] = None):
+        """Yield int16 waveform chunks as the vocoder decodes them.
+
+        Streaming serving: time-to-first-audio is one decode window
+        (~chunk_frames*hop/22050 s of audio) instead of the whole sentence.
+        Same clamped-window + halo scheme as _chunked_decode, so the
+        concatenated stream is sample-identical to a monolithic decode at
+        STREAM_GAIN (tests/test_streaming.py). One window is kept in
+        flight: window k+1's device compute overlaps pulling window k."""
+        chunk = chunk_frames or self.decode_chunk_frames or 64
+        halo = self.decode_chunk_halo
+        t = len(score.phone_ids)
+        t_pad = _bucket(t, PHONE_BUCKETS)
+        frame_bound = int(np.ceil(score.note_durations.sum()
+                                  / self.cfg.frame_seconds)) + t + 8
+        max_frames = min(_bucket(frame_bound, FRAME_BUCKETS),
+                         FRAME_BUCKETS[-1])
+
+        def pad(a, fill=0):
+            return np.pad(a, (0, t_pad - t), constant_values=fill)
+
+        self._infer_key, sub = jax.random.split(self._infer_key)
+        hidden, mel_len, aux = self._compiled_hidden(max_frames)(
+            self.params, sub,
+            jnp.asarray(pad(score.phone_ids)[None]),
+            jnp.asarray([t], jnp.int32),
+            jnp.asarray(pad(score.note_ids)[None]),
+            jnp.asarray(pad(score.note_durations)[None]),
+            jnp.asarray(pad(score.shengdiao_ids)[None]))
+        exc = aux.get("exc")
+        n = int(mel_len[0])
+        hop = self.cfg.hop_length
+        f = hidden.shape[1]
+        win = min(chunk + 2 * halo, f)
+        fn = self._compiled_stream_window(win, exc is not None)
+        pending = []
+        for out_start in range(0, n, chunk):
+            out_frames = min(chunk, n - out_start)
+            ws = min(max(out_start - halo, 0), f - win)
+            pending.append((fn(self.params, hidden, exc, jnp.int32(ws)),
+                            out_start - ws, out_frames))
+            if len(pending) > 1:
+                y, off, m = pending.pop(0)
+                yield np.asarray(y)[0, off * hop: (off + m) * hop]
+        for y, off, m in pending:
+            yield np.asarray(y)[0, off * hop: (off + m) * hop]
+
     def _batch_inputs(self, scores: list):
         """(max_frames, packed [5, b, t] int32 array) for one batched SVS
         call — a single device transfer (see _compiled_int16)."""
@@ -440,6 +519,38 @@ class SongSynthesizer:
             timings={"total_s": time.time() - t_start,
                      "melody_s": melody_s, "svs_s": svs_s},
         )
+
+    def stream_song(self, lyrics: str, singer_id: int = 0,
+                    sample_rate: int = 22050):
+        """Yield int16 chunks of the full song as the vocoder decodes them
+        (leading 0.2 s silence pad, matching concat_with_delay). The melody
+        stage runs up front — previous-sentence conditioning is inherently
+        sequential — then audio streams out one decode window at a time.
+        Streaming deviations (documented): fixed STREAM_GAIN instead of
+        per-sentence peak normalization, and no accompaniment mixing — a
+        stream cannot revisit samples it already emitted."""
+        svs = self.synthesizers.get(singer_id, self.synthesizers[0])
+        sentences = split_sentences(lyrics,
+                                    replacements=self.lyric_replacements)
+        with self._melody_lock:
+            if hasattr(self.melody, "generate_song"):
+                outs = list(self.melody.generate_song(sentences))
+            else:
+                outs, previous_midis = [], []
+                for k, sentence in enumerate(sentences):
+                    out = self.melody.generate(
+                        sentence, index=k,
+                        previous_notes=previous_midis or None)
+                    previous_midis = out[1]
+                    outs.append(out)
+        scores = []
+        for out_lyric, note_tokens, durations in outs:
+            names = [midi_to_note(int(m)) if m != "rest" else "rest"
+                     for m in note_tokens]
+            scores.append(svs.frontend.align(out_lyric, names, durations))
+        yield np.zeros(int(0.2 * sample_rate), np.int16)
+        for score in scores:
+            yield from svs.stream_score(score)
 
     def _mix_accompaniment(self, song, wavs, sentence_tracks,
                            sample_rate: int = 22050):

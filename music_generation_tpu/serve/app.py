@@ -115,23 +115,25 @@ class MusicGenerationService:
             self.logger.info("shell backend failed -> falling back to model path")
         return self._handle_model_path(data)
 
-    def _handle_model_path(self, data: dict) -> dict:
+    def _resolve_text(self, data: dict):
+        """(lyrics_text, None) from a request payload, or (None, response
+        dict) when the request resolves to an error/canned response."""
         text = str(data.get("text", "") or "").strip()
         if not text:
             keyword = str(data.get("keyword", "") or data.get("theme", "") or "").strip()
             if not keyword:
-                return {"code": 201,
-                        "message": "输入参数错误，必须输入非空字段text！"}
+                return None, {"code": 201,
+                              "message": "输入参数错误，必须输入非空字段text！"}
             # canned demo songs for specific keywords (parity:
             # controllers_music_generation_melody_v2/syn_music.py:30-54)
             from .variants import canned_response
             canned = canned_response(keyword, self.canned_dir)
             if canned is not None:
                 self.logger.info("canned response for 关键词:%s", keyword)
-                return canned
+                return None, canned
             if self.lyrics is None:
-                return {"code": 201,
-                        "message": "keyword 模式不可用：歌词模型未加载！"}
+                return None, {"code": 201,
+                              "message": "keyword 模式不可用：歌词模型未加载！"}
             self.logger.info("传入关键词:%s", keyword)
             text = self.lyrics.generate(keyword).replace("-", "")
             self.logger.info("生成歌词：%s", text)
@@ -139,8 +141,31 @@ class MusicGenerationService:
             self.logger.info("直接传入歌词:%s", text)
 
         if not (self.cfg.min_text_len <= len(text) <= self.cfg.max_text_len):
-            return {"code": 202,
-                    "message": "生成失败，传入文本必须大于1个字符，小于500个字符！"}
+            return None, {"code": 202,
+                          "message": "生成失败，传入文本必须大于1个字符，小于500个字符！"}
+        return text, None
+
+    def stream_synthesis(self, data: dict):
+        """Streaming model path: returns a generator of int16 numpy chunks,
+        or a response dict (error / canned keyword) the caller should send
+        as plain JSON. Audio leaves the service one vocoder decode window
+        at a time (SongSynthesizer.stream_song) — time-to-first-audio is
+        one window instead of the whole song."""
+        if self.songs is None or not hasattr(self.songs, "stream_song"):
+            return {"code": 203, "message": "服务器错误：流式合成不可用！"}
+        text, resp = self._resolve_text(data)
+        if resp is not None:
+            return resp
+        try:
+            singer_id = int(data.get("singer_id", 0) or 0)
+        except (TypeError, ValueError):
+            return {"code": 203, "message": "服务器错误，歌声合成出错！"}
+        return self.songs.stream_song(text, singer_id=singer_id)
+
+    def _handle_model_path(self, data: dict) -> dict:
+        text, resp = self._resolve_text(data)
+        if resp is not None:
+            return resp
 
         try:
             # inside the handler try so a non-numeric singer_id yields the
@@ -180,6 +205,10 @@ class MusicGenerationService:
 
 def make_http_server(service: MusicGenerationService, host: str, port: int):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (the streaming endpoint) requires HTTP/1.1;
+        # every non-streaming response already sets Content-Length, so
+        # keep-alive semantics stay correct
+        protocol_version = "HTTP/1.1"
         def _send_json(self, payload: dict, status: int = 200):
             body = json.dumps(payload, ensure_ascii=False).encode()
             self.send_response(status)
@@ -277,7 +306,8 @@ def make_http_server(service: MusicGenerationService, host: str, port: int):
                     self._send_json({"ok": True, "trace_dir": log_dir,
                                      "seconds": seconds})
                 return
-            if self.path != "/synthesis_music":
+            if parsed_path not in ("/synthesis_music",
+                                   "/synthesis_music_stream"):
                 self._send_json({"code": 404, "message": "not found"}, 404)
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -291,7 +321,44 @@ def make_http_server(service: MusicGenerationService, host: str, port: int):
                             parse_qs(raw.decode(errors="replace")).items()}
             except Exception:
                 data = {}
+            if parsed_path == "/synthesis_music_stream":
+                self._stream_synthesis(data)
+                return
             self._send_json(service.handle_synthesis(data))
+
+        def _stream_synthesis(self, data):
+            """Chunked-transfer audio/wav: one HTTP chunk per vocoder decode
+            window. Errors before the first audio byte fall back to the
+            JSON wire contract."""
+            gen = service.stream_synthesis(data)
+            if isinstance(gen, dict):
+                self._send_json(gen)
+                return
+            from ..audio.wav import streaming_wav_header
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(b: bytes):
+                self.wfile.write(b"%X\r\n" % len(b))
+                self.wfile.write(b)
+                self.wfile.write(b"\r\n")
+
+            try:
+                chunk(streaming_wav_header())
+                for piece in gen:
+                    b = piece.tobytes()
+                    if b:
+                        chunk(b)
+            except Exception:
+                service.logger.error("stream failed mid-flight:\n%s",
+                                     traceback.format_exc())
+            finally:
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except OSError:
+                    pass
 
         def log_message(self, fmt, *args):
             service.logger.info("%s - %s", self.address_string(), fmt % args)
