@@ -31,12 +31,15 @@ def run_song(synth, melody):
                                                 write_wav_bytes)
     t0 = time.time()
     scores = []
+    n_tokens = 0
     for out_lyric, note_tokens, _ in melody.generate_song(SENTENCES):
         names = [midi_to_note(int(m)) if m != "rest" else "rest"
                  for m in note_tokens]
+        n_tokens += len(note_tokens)
         durations = [SYLLABLE_SECONDS] * (len(out_lyric) - 1) + [0.6]
         scores.append(synth.frontend.align(out_lyric, names, durations))
     melody_s = time.time() - t0
+    run_song.last_melody_tokens = n_tokens
     t0 = time.time()
     wavs = synth.synthesize_batch(scores)  # int16, normalized on device
     svs_s = time.time() - t0
@@ -172,6 +175,11 @@ def main():
         "pipeline_rtf": round(e2e_s / max(audio_s, 1e-6), 4),
         "n_sentences": len(SENTENCES),
         "melody_s": round(melody_s, 3),
+        # BASELINE.md tracked metric: beam-decoded note tokens per second
+        # (beam 3, on-device prev-sentence conditioning)
+        "melody_tokens_per_s": round(
+            getattr(run_song, "last_melody_tokens", 0) / max(melody_s, 1e-9),
+            1),
         "svs_s": round(svs_s, 3),
         "fused_e2e_s": round(fused_e2e_s, 3),
         "fused_audio_s": round(len(wav_f) / sr_f, 2),
