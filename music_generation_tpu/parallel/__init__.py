@@ -1,5 +1,7 @@
-from .mesh import (batch_sharding, make_mesh, param_partition_spec,
-                   param_shardings, shard_params)
+from .mesh import (batch_sharding, make_hybrid_mesh, make_mesh,
+                   param_partition_spec, param_shardings, put_global_batch,
+                   shard_params)
 
-__all__ = ["make_mesh", "batch_sharding", "param_partition_spec",
-           "param_shardings", "shard_params"]
+__all__ = ["make_mesh", "make_hybrid_mesh", "batch_sharding",
+           "param_partition_spec", "param_shardings", "put_global_batch",
+           "shard_params"]

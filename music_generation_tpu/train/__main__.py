@@ -101,16 +101,31 @@ def main(argv=None):
                         "models/svs/istft.py)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host DCN; each "
-                        "host runs this same command)")
+                        "host runs this same command). --batch-size is "
+                        "PER HOST; the global batch is nprocs x batch-size")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="explicit jax.distributed coordinator (defaults to "
+                        "auto-detection from the cluster environment)")
+    p.add_argument("--nprocs", type=int, default=None,
+                   help="explicit process count for --coordinator")
+    p.add_argument("--proc-id", type=int, default=None,
+                   help="explicit process index for --coordinator")
     args = p.parse_args(argv)
 
     import jax
     if args.multihost:
-        jax.distributed.initialize()
+        if args.coordinator:
+            jax.distributed.initialize(coordinator_address=args.coordinator,
+                                       num_processes=args.nprocs,
+                                       process_id=args.proc_id)
+        else:
+            jax.distributed.initialize()
         print(f"process {jax.process_index()}/{jax.process_count()}")
+    proc0 = jax.process_index() == 0
 
     from ..models.svs import SVSConfig
-    from ..parallel import batch_sharding, make_mesh, shard_params
+    from ..parallel import (batch_sharding, make_hybrid_mesh, make_mesh,
+                            put_global_batch, shard_params)
     from . import (TrainConfig, create_states, make_train_step,
                    restore_checkpoint, save_checkpoint, synthetic_batch)
 
@@ -158,22 +173,33 @@ def main(argv=None):
             tcfg = _dc.replace(tcfg, **{field: val})
     n_dev = len(jax.devices())
     n_model = args.n_model
-    n_data = max(n_dev // n_model, 1)
-    mesh = make_mesh(n_data=n_data, n_model=n_model,
-                     devices=jax.devices()[: n_data * n_model])
-    print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
+    if jax.process_count() > 1:
+        # DP across hosts (DCN), TP inside a host (ICI)
+        mesh = make_hybrid_mesh(n_model=n_model)
+    else:
+        n_data = max(n_dev // n_model, 1)
+        mesh = make_mesh(n_data=n_data, n_model=n_model,
+                         devices=jax.devices()[: n_data * n_model])
+    if proc0:
+        print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
 
     dataset = None
+    # each host samples a DIFFERENT stream (seed offset by process index);
+    # the global batch is the concatenation over hosts (put_global_batch)
+    ds_seed = jax.process_index()
     if args.packed:
         from .dataset import PackedDataset
         dataset = PackedDataset(args.packed, svs_cfg, t_phones=t_phones,
-                                t_frames=t_frames)
-        print(f"dataset: {len(dataset)} utterances from {args.packed}.data")
+                                t_frames=t_frames, seed=ds_seed)
+        if proc0:
+            print(f"dataset: {len(dataset)} utterances from "
+                  f"{args.packed}.data")
     elif args.data_dir:
         from .dataset import NpyDataset
         dataset = NpyDataset(args.data_dir, svs_cfg, t_phones=t_phones,
-                             t_frames=t_frames)
-        print(f"dataset: {len(dataset)} utterances from {args.data_dir}")
+                             t_frames=t_frames, seed=ds_seed)
+        if proc0:
+            print(f"dataset: {len(dataset)} utterances from {args.data_dir}")
     if dataset is not None:
         # the reference decays LR once per EPOCH (ExponentialLR +
         # configs/ours.json lr_decay); derive epoch length from the dataset
@@ -186,7 +212,8 @@ def main(argv=None):
             return dataset.batch(args.batch_size)
         return synthetic_batch(svs_cfg, batch=args.batch_size,
                                t_phones=t_phones, t_frames=t_frames,
-                               seed=step)
+                               seed=step * jax.process_count()
+                               + jax.process_index())
 
     batch = next_batch(0)
     gen_state, disc_state, gen, disc = create_states(svs_cfg, tcfg, batch)
@@ -204,7 +231,10 @@ def main(argv=None):
     train_step = make_train_step(gen, disc, svs_cfg, tcfg)
     rng = jax.random.PRNGKey(tcfg.seed)
     from .metrics import MetricsWriter
-    metrics_writer = MetricsWriter(os.path.join(args.ckpt_dir, "logs"))
+    # one metrics file per run; in multihost the losses are globally
+    # replicated scalars, so only process 0 writes them
+    metrics_writer = (MetricsWriter(os.path.join(args.ckpt_dir, "logs"))
+                      if proc0 else None)
 
     with mesh:
         bs = batch_sharding(mesh)
@@ -213,7 +243,7 @@ def main(argv=None):
         step_fn = jax.jit(train_step, donate_argnums=(0, 1))
 
         def transfer(b):
-            return {k: jax.device_put(v, bs) for k, v in b.items()}
+            return put_global_batch(b, bs)
 
         feed = None
         if args.prefetch > 0:
@@ -237,7 +267,8 @@ def main(argv=None):
                          if getattr(v, "ndim", 0) == 0}
                     dt = time.time() - t0
                     print(f"step {start_step + step} ({dt:.1f}s): {m}")
-                    metrics_writer.write(start_step + step, metrics)
+                    if metrics_writer is not None:
+                        metrics_writer.write(start_step + step, metrics)
                 if args.ckpt_every and step and step % args.ckpt_every == 0:
                     save_checkpoint(os.path.abspath(args.ckpt_dir), gen_state,
                                     disc_state, start_step + step,

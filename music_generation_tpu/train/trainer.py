@@ -349,6 +349,10 @@ def save_checkpoint(path: str, gen_state, disc_state, step: int,
                          "step": disc_state.step}},
                force=True)
     ckptr.wait_until_finished()
+    # orbax coordinates the array save across processes; the best-pointer
+    # and prune bookkeeping are plain-file ops -> primary host only
+    if jax.process_index() != 0:
+        return
     if metric is not None:
         _update_best_pointer(path, step, metric)
     if keep_last:
