@@ -471,7 +471,12 @@ class VISinger(nn.Module):
 
         h_lr, _ = expand_by_durations(h_text, phone_durations, max_frames)
 
-        m_p, logs_p, log_f0, mel_predict = self.text_post_net(
+        # NOTE: keep the predicted F0 distinct from the ground-truth ``log_f0``
+        # kwarg — the NSF excitation below must be driven by the GT contour
+        # (teacher forcing); a shared name would silently shadow the batch F0
+        # and let mel/adv gradients flow into the F0 predictor through the
+        # sine source, dragging it away from its YIN target.
+        m_p, logs_p, log_f0_pred, mel_predict = self.text_post_net(
             h_lr, y_mask, f0_score=f0_score, deterministic=deterministic)
 
         # reverse-KL sample
@@ -510,7 +515,7 @@ class VISinger(nn.Module):
             "y_mask": y_mask,
             "z": z, "z_p": z_p, "m_p": m_p, "logs_p": logs_p,
             "m_q": m_q, "logs_q": logs_q,
-            "log_f0": log_f0,
+            "log_f0": log_f0_pred,
             "mel_predict": mel_predict,
             "spec_predict": spec_predict,
             "z_hat": z_hat,

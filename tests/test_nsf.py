@@ -97,6 +97,45 @@ def test_nsf_train_forward_and_grad():
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
 
 
+def test_nsf_train_excitation_is_teacher_forced():
+    """The training-time sine source must be driven by the batch's
+    ground-truth ``log_f0``, NOT the F0 predictor's output (regression: a
+    shadowed variable once silently swapped them). Two consequences pinned
+    here: (a) the audio loss has exactly zero gradient into the F0
+    predictor — its only job is loss_f0; (b) changing the GT contour
+    changes the waveform."""
+    model = VISinger(TINY_NSF)
+    batch = _batch()
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "slice": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)}
+    variables = model.init(rngs, **batch, deterministic=True)
+    apply_rngs = {"noise": rngs["noise"], "slice": rngs["slice"],
+                  "dropout": rngs["dropout"]}
+
+    def audio_loss(params, b):
+        out = model.apply({"params": params}, **b, deterministic=True,
+                          rngs=apply_rngs)
+        return jnp.mean(out["audio"] ** 2)
+
+    g = jax.grad(audio_loss)(variables["params"], batch)
+    f0_pred_g = g["text_post_net"]["f0_predictor"]
+    gnorm = jnp.sqrt(sum(jnp.sum(x ** 2)
+                         for x in jax.tree_util.tree_leaves(f0_pred_g)))
+    assert float(gnorm) == 0.0, \
+        "audio gradients leaked into the F0 predictor (excitation is " \
+        "being built from the predicted contour instead of the batch GT)"
+
+    # (b) the GT contour actually drives the excitation
+    shifted = dict(batch)
+    shifted["log_f0"] = batch["log_f0"] + 0.3
+    a0 = model.apply(variables, **batch, deterministic=True, rngs=apply_rngs)
+    a1 = model.apply(variables, **shifted, deterministic=True, rngs=apply_rngs)
+    assert float(jnp.abs(a0["audio"] - a1["audio"]).max()) > 0.0
+    # and the predicted-F0 output is unchanged by the GT swap
+    np.testing.assert_allclose(np.asarray(a0["log_f0"]),
+                               np.asarray(a1["log_f0"]), atol=0)
+
+
 def test_nsf_infer_and_copy_synthesis_shapes():
     model = VISinger(TINY_NSF)
     batch = _batch()
