@@ -17,6 +17,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if os.environ.get("RUN_TPU_TESTS") != "1":
+    # The axon sitecustomize force-sets jax_platforms="axon,cpu" at
+    # interpreter start (overriding JAX_PLATFORMS=cpu from the env), so ANY
+    # backend query — even jax.devices("cpu") — first initializes the axon
+    # plugin and dials the TPU tunnel; during a tunnel outage that blocks
+    # forever. Re-assert cpu-only BEFORE the first device query so the suite
+    # is hermetic regardless of tunnel state.
+    jax.config.update("jax_platforms", "cpu")
+
 _cpus = jax.devices("cpu")
 jax.config.update("jax_default_device", _cpus[0])
 
