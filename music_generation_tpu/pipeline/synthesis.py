@@ -582,7 +582,8 @@ class SongSynthesizer:
 
 def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
                                    seed: int = 0, fused: bool = False,
-                                   mesh=None):
+                                   mesh=None, svs_nsf: bool = False,
+                                   svs_decoder: str = "hifigan"):
     """Random-initialized full pipeline (weights are trained separately; the
     reference snapshot ships no usable checkpoints — see
     /root/reference/.MISSING_LARGE_BLOBS)."""
@@ -606,6 +607,11 @@ def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
     else:
         mcfg = MelodyConfig(src_vocab=lyric_dict.size, tgt_vocab=37)
         scfg = SVSConfig()
+    if svs_nsf or svs_decoder != "hifigan":
+        # serve checkpoints from `train --nsf` / `train --decoder ...`
+        # (cfg must match how the params were trained)
+        import dataclasses as _dc
+        scfg = _dc.replace(scfg, nsf=svs_nsf, decoder_type=svs_decoder)
     melody = MelodyGenerator(lyric_dict, note_dictionary(), cfg=mcfg,
                              duration_variant="mse", seed=seed)
     synths = {i: SVSSynthesizer(scfg, seed=seed + i, mesh=mesh)

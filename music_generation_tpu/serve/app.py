@@ -390,6 +390,14 @@ def main(argv=None):
                              "program for single-request latency; concurrent "
                              "requests still take the staged path + "
                              "cross-request SVS batcher (auto-pick by load)")
+    parser.add_argument("--nsf", action="store_true",
+                        help="SVS checkpoints were trained with `train "
+                             "--nsf` (harmonic-excitation vocoder; the "
+                             "model config must match the params)")
+    parser.add_argument("--decoder", default="hifigan",
+                        choices=["hifigan", "istft", "mb_istft"],
+                        help="SVS vocoder decoder family the checkpoints "
+                             "were trained with (train --decoder)")
     parser.add_argument("--warmup", action="store_true",
                         help="synthesize one representative song before "
                              "accepting traffic so the common shape buckets "
@@ -431,7 +439,8 @@ def main(argv=None):
         logger.info("inference mesh: %s", dict(mesh.shape))
     songs = build_default_song_synthesizer(tiny=cfg.tiny,
                                            n_speakers=cfg.n_speakers,
-                                           mesh=mesh)
+                                           mesh=mesh, svs_nsf=args.nsf,
+                                           svs_decoder=args.decoder)
     if spec.melody != "mse" or spec.accompaniment:  # variant melody family
         songs = SongSynthesizer(build_melody_generator(spec, tiny=cfg.tiny),
                                 songs.synthesizers,

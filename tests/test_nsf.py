@@ -184,3 +184,19 @@ def test_nsf_chunked_decode_matches_monolithic():
     chunked = synth._chunked_decode(variables, hidden, exc=aux["exc"])
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(mono),
                                atol=2e-5)
+
+
+def test_builder_propagates_nsf_to_serving_cfg():
+    """`serve.app --nsf` serves checkpoints from `train --nsf`: the default
+    pipeline builder must construct SVS models whose config (and param
+    structure — the excitation injectors) matches the trained params, or
+    the orbax restore would silently mismatch."""
+    from music_generation_tpu.pipeline.synthesis import \
+        build_default_song_synthesizer
+
+    songs = build_default_song_synthesizer(tiny=True, n_speakers=1,
+                                           svs_nsf=True)
+    svs = songs.synthesizers[0]
+    assert svs.cfg.nsf is True
+    assert "exc_0" in svs.params["params"]["decoder"] or \
+        "exc_0" in svs.params.get("decoder", {})
