@@ -136,35 +136,66 @@ def main():
         print(f"throughput mode failed: {type(e).__name__}", flush=True)
 
     # Beyond-parity decoder + HBM-cap rows:
+    #  - bf16 decoder: halves the dominant byte traffic of the
+    #    bandwidth-bound vocoder (SVSConfig.decoder_bf16; parity-bounded by
+    #    tests/test_bf16_decoder.py)
     #  - mb_istft decoder (models/svs/istft.py): trades the highest-rate
-    #    conv stages for an inverse STFT (3.2x fewer FLOPs)
-    #  - chunked-decode b=32: frame-windowed vocoder decode bounds the
-    #    HiFi-GAN activations, lifting the b=16 HBM cap (synthesis.py
-    #    _chunked_decode); one call instead of two per 32 sentences
-    tp_istft = tp_b32 = tp_best = None
+    #    conv stages for an inverse STFT (3.2x fewer FLOPs AND far smaller
+    #    activations — b=32 fits monolithically, no chunk halo needed)
+    #  - bf16 b=32 (hifigan): bf16 halves the activation bytes, so the
+    #    b=32 x 512-frame batch fits HBM *monolithically* (fp32 needs ~22 G
+    #    vs 15.75 G). Round-3 presented chunk=128-halo'd decode as the b=32
+    #    enabler; at ~512-frame sentences the halo re-decodes 37.5-94% of
+    #    frames, so chunking is now reserved for streaming/giant inputs.
+    tp_bf16 = tp_istft = tp_b32 = tp_best = None
+    import dataclasses as _dc
+    from music_generation_tpu.pipeline.synthesis import SVSSynthesizer
     try:
-        import dataclasses as _dc
-        from music_generation_tpu.pipeline.synthesis import SVSSynthesizer
+        bcfg = _dc.replace(svs.cfg, decoder_bf16=True)
+        bsvs = SVSSynthesizer(bcfg, params=svs.params, seed=0)
+        t, a = timed_throughput(bsvs, big)
+        tp_bf16 = round(a / t, 1)
+    except Exception as e:
+        print(f"bf16 row failed: {type(e).__name__}", flush=True)
+    try:
         icfg = _dc.replace(svs.cfg, decoder_type="mb_istft")
-        isvs = SVSSynthesizer(icfg, seed=0)
+        isvs = SVSSynthesizer(icfg, seed=0, max_batch=32)
         t, a = timed_throughput(isvs, big)
         tp_istft = round(a / t, 1)
     except Exception as e:
         print(f"istft row failed: {type(e).__name__}", flush=True)
     try:
-        b32 = SVSSynthesizer(svs.cfg, params=svs.params, seed=0,
-                             decode_chunk_frames=128, max_batch=32)
+        b32 = SVSSynthesizer(_dc.replace(svs.cfg, decoder_bf16=True),
+                             params=svs.params, seed=0, max_batch=32)
         t, a = timed_throughput(b32, big)
         tp_b32 = round(a / t, 1)
     except Exception as e:
-        print(f"chunked b=32 row failed: {type(e).__name__}", flush=True)
-    try:  # both together: cheapest decoder at the biggest batch
-        best = SVSSynthesizer(icfg, params=isvs.params, seed=0,
-                              decode_chunk_frames=128, max_batch=32)
+        print(f"bf16 b=32 row failed: {type(e).__name__}", flush=True)
+    try:  # cheapest decoder, bf16, biggest batch — the intended best
+        best = SVSSynthesizer(_dc.replace(icfg, decoder_bf16=True),
+                              params=isvs.params, seed=0, max_batch=32)
         t, a = timed_throughput(best, big)
         tp_best = round(a / t, 1)
     except Exception as e:
         print(f"best-config row failed: {type(e).__name__}", flush=True)
+
+    # Streaming TTFA (time-to-first-audio): one decode window instead of the
+    # whole song — the streaming endpoint's reason to exist, measured.
+    ttfa_s = None
+    try:
+        first = scores[0]
+        list(svs.stream_score(first))  # warmup: compiles hidden+window fns
+        runs_t = []
+        for _ in range(3):
+            t0 = time.time()
+            gen = svs.stream_score(first)
+            next(gen)
+            runs_t.append(time.time() - t0)
+            for _ in gen:
+                pass
+        ttfa_s = round(min(runs_t), 3)
+    except Exception as e:
+        print(f"ttfa row failed: {type(e).__name__}", flush=True)
 
     print(json.dumps({
         "metric": "e2e_song_latency_s",
@@ -192,9 +223,11 @@ def main():
                                  if mfu_pct is not None else None),
         "bandwidth_util_pct": (round(bw_pct, 2)
                                if bw_pct is not None else None),
-        "throughput_audio_s_per_s_mb_istft": tp_istft,
-        "throughput_audio_s_per_s_b32_chunked": tp_b32,
+        "throughput_audio_s_per_s_bf16": tp_bf16,
+        "throughput_audio_s_per_s_mb_istft_b32": tp_istft,
+        "throughput_audio_s_per_s_bf16_b32": tp_b32,
         "throughput_audio_s_per_s_best": tp_best,
+        "ttfa_s": ttfa_s,
         "warmup_s": round(warmup_s, 2),
         "build_s": round(build_s, 2),
     }))

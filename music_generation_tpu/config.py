@@ -32,6 +32,11 @@ class ServiceConfig:
     # 16 x 512-frame full-size sentences is the largest SVS batch that fits
     # one v5e's 15.75 G HBM (b=32 needs ~22 G of HiFi-GAN activations)
     max_batch_sentences: int = 16
+    # parity with server_configs/config_music_generation.yaml:12 — the
+    # reference declares a TLS cert path but never terminates TLS with it;
+    # accepted (so reference config files load unmodified) and unused here
+    # the same way
+    cert_file_path: Optional[str] = None
 
     @classmethod
     def from_file(cls, path: str) -> "ServiceConfig":

@@ -30,6 +30,28 @@ class ScoreInputs:
     note_durations: np.ndarray   # float32 [T] seconds
     shengdiao_ids: np.ndarray    # int32 [T] tone-marked phone ids
     phonemes: tuple[str, ...]    # tone-marked phoneme strings (debugging)
+    # int32 [T] syllable index per phone (split points for over-long
+    # sentences must not separate an initial from its final); defaults to
+    # one syllable per phone for hand-built scores
+    syllable_idx: np.ndarray | None = None
+
+    def syllable_bounds(self) -> np.ndarray:
+        """Phone positions where a new syllable starts (always includes 0)."""
+        if self.syllable_idx is None:
+            return np.arange(len(self.phone_ids), dtype=np.int32)
+        d = np.diff(self.syllable_idx, prepend=self.syllable_idx[:1] - 1)
+        return np.flatnonzero(d != 0).astype(np.int32)
+
+    def slice_phones(self, lo: int, hi: int) -> "ScoreInputs":
+        """Sub-score over phone positions [lo, hi)."""
+        return ScoreInputs(
+            phone_ids=self.phone_ids[lo:hi],
+            note_ids=self.note_ids[lo:hi],
+            note_durations=self.note_durations[lo:hi],
+            shengdiao_ids=self.shengdiao_ids[lo:hi],
+            phonemes=self.phonemes[lo:hi],
+            syllable_idx=(None if self.syllable_idx is None
+                          else self.syllable_idx[lo:hi]))
 
 
 class ScoreFrontend:
@@ -66,6 +88,7 @@ class ScoreFrontend:
         ph_seq: list[str] = []
         out_notes: list[str] = []
         out_durs: list[float] = []
+        syl_idx: list[int] = []
         for pos, syl in enumerate(syllables):
             units = self._safe_units(syl)
             # melody length mismatches are REPAIRED, not failed (reference
@@ -78,6 +101,7 @@ class ScoreFrontend:
             ph_seq.extend(units)
             out_notes.extend([note] * len(units))
             out_durs.extend([float(dur)] * len(units))
+            syl_idx.extend([pos] * len(units))
 
         tone_str = " ".join(ph_seq).replace(",", "SP")
         plain_str = _TONE_RE.sub("", tone_str)
@@ -88,6 +112,7 @@ class ScoreFrontend:
             note_durations=np.asarray(out_durs, dtype=np.float32),
             shengdiao_ids=np.asarray(self.shengdiao.encode(tone_str), dtype=np.int32),
             phonemes=tuple(tone_str.split(" ")),
+            syllable_idx=np.asarray(syl_idx, dtype=np.int32),
         )
 
     def align_template(self, text: str):

@@ -72,6 +72,21 @@ def default_tokenizer(family: str = "t5", tiny: bool = False):
     return T5SentencePieceTokenizer(path)
 
 
+def t5_config_for(tokenizer, **overrides) -> T5Config:
+    """T5Config with the special-token ids taken from the tokenizer.
+
+    The HF defaults (pad=0, eos=1) only hold for the sentencepiece vocab;
+    the CharTokenizer puts <结束> at id 4 and [CLS] at id 1 — with the
+    default eos the sampler can never terminate (it waits for a token the
+    training targets never contain) and every generation runs the full
+    512-token budget into degeneracy."""
+    return T5Config(vocab_size=tokenizer.vocab_size,
+                    eos_token_id=tokenizer.eos_id,
+                    pad_token_id=tokenizer.pad_id,
+                    decoder_start_token_id=tokenizer.pad_id,
+                    **overrides)
+
+
 class LyricGeneratorGPT2:
     def __init__(self, cfg: Optional[GPT2Config] = None, params=None,
                  tokenizer=None, seed: int = 0):
@@ -107,7 +122,7 @@ class LyricGeneratorT5:
     def __init__(self, cfg: Optional[T5Config] = None, params=None,
                  tokenizer=None, seed: int = 0):
         self.tokenizer = tokenizer or default_tokenizer("t5")
-        self.cfg = cfg or T5Config(vocab_size=self.tokenizer.vocab_size)
+        self.cfg = cfg or t5_config_for(self.tokenizer)
         self.model = T5(self.cfg)
         if params is None:
             src = jnp.zeros((1, 8), jnp.int32)
@@ -117,8 +132,15 @@ class LyricGeneratorT5:
         self.params = params
         self._rng = jax.random.PRNGKey(seed + 1)
 
-    def generate(self, keyword: str, length: int = 15) -> str:
+    def generate(self, keyword: str, length: int = 15,
+                 max_length: Optional[int] = None) -> str:
+        """keyword -> lyrics. `length` goes into the prompt (reference
+        convention); the DECODE budget is `max_length` tokens — by default
+        scaled off `length` rather than the flat 512 of the reference so a
+        model that under-learned EOS still can't emit a 500-char wall."""
         tok = self.tokenizer
+        if max_length is None:
+            max_length = min(T5_MAX_LENGTH, max(48, 8 * length))
         prompt = f"{self.TITLE_PROMPT}{keyword} {self.LENGTH_PROMPT}{length}"
         try:  # reference T5Tokenizer appends </s> (add_special_tokens=True)
             ids = tok.encode(prompt, add_eos=True)
@@ -128,7 +150,7 @@ class LyricGeneratorT5:
         mask = jnp.ones_like(src)
         self._rng, sub = jax.random.split(self._rng)
         out = topk_sample_generate(self.model, self.params, sub, src, mask,
-                                   max_length=T5_MAX_LENGTH, top_k=T5_TOP_K)
+                                   max_length=max_length, top_k=T5_TOP_K)
         ids_out = np.asarray(out[0]).tolist()
         if self.cfg.eos_token_id in ids_out:
             ids_out = ids_out[: ids_out.index(self.cfg.eos_token_id)]

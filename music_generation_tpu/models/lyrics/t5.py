@@ -243,10 +243,19 @@ def init_t5_cache(cfg: T5Config, batch: int, max_len: int):
                  for _ in range(cfg.num_decoder_layers))
 
 
-@functools.partial(jax.jit, static_argnames=("model", "max_length", "top_k"))
+@functools.partial(jax.jit, static_argnames=("model", "max_length", "top_k",
+                                             "no_repeat_ngram"))
 def topk_sample_generate(model: T5, params, rng, src_ids, src_mask,
-                         max_length: int = 128, top_k: int = 10):
-    """Encoder once + sampled decode. Returns token buffer [B, max_length]."""
+                         max_length: int = 128, top_k: int = 10,
+                         no_repeat_ngram: int = 2):
+    """Encoder once + sampled decode. Returns token buffer [B, max_length].
+
+    Decode-time degeneracy bound: like the reference's GPT-2 generator
+    (Lyric_generator/generator.py no_repeat_ngram_size=2), repeated bigrams
+    are banned — toy-corpus-trained samplers otherwise loop on a few
+    high-probability characters and the downstream song collapses to one
+    giant unpunctuated sentence."""
+    from .gpt2 import _ban_repeated_bigrams
     cfg = model.cfg
     batch = src_ids.shape[0]
     memory = model.apply(params, src_ids, src_mask, method=T5.encode)
@@ -260,6 +269,9 @@ def topk_sample_generate(model: T5, params, rng, src_ids, src_mask,
         logits, caches = model.apply(
             params, tokens[:, pos], jnp.asarray(pos), memory, src_mask,
             caches, max_length, method=T5.decode_step)
+        if no_repeat_ngram == 2:
+            logits = _ban_repeated_bigrams(logits, tokens, pos,
+                                           cfg.vocab_size)
         vals, idx = jax.lax.top_k(logits, top_k)
         rng, sub = jax.random.split(rng)
         choice = jax.random.categorical(sub, vals)

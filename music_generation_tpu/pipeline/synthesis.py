@@ -223,6 +223,9 @@ class SVSSynthesizer:
         return self.synthesize_score(self.frontend.align(text, notes, durations))
 
     def synthesize_score(self, score) -> np.ndarray:
+        pieces = self.split_oversize(score)
+        if len(pieces) > 1:
+            return np.concatenate([self.synthesize_score(p) for p in pieces])
         t = len(score.phone_ids)
         t_pad = _bucket(t, PHONE_BUCKETS)
         frame_bound = int(np.ceil(score.note_durations.sum()
@@ -286,6 +289,11 @@ class SVSSynthesizer:
         concatenated stream is sample-identical to a monolithic decode at
         STREAM_GAIN (tests/test_streaming.py). One window is kept in
         flight: window k+1's device compute overlaps pulling window k."""
+        pieces = self.split_oversize(score)
+        if len(pieces) > 1:
+            for p in pieces:
+                yield from self.stream_score(p, chunk_frames=chunk_frames)
+            return
         chunk = chunk_frames or self.decode_chunk_frames or 64
         halo = self.decode_chunk_halo
         t = len(score.phone_ids)
@@ -362,14 +370,57 @@ class SVSSynthesizer:
     # (b=32 x 512-frame HiFi-GAN activations need ~22 G)
     MAX_BATCH = 16
 
+    def _score_frame_bound(self, score) -> int:
+        return (int(np.ceil(score.note_durations.sum()
+                            / self.cfg.frame_seconds))
+                + len(score.phone_ids) + 8)
+
+    def split_oversize(self, score, cap: int = FRAME_BUCKETS[-1]) -> list:
+        """Split a score whose frame bound exceeds the TextPostNet position
+        table (FRAME_BUCKETS[-1]) into syllable-aligned sub-scores, so a
+        500-char unpunctuated request loses zero audio instead of being
+        silently clamped. (Reference philosophy: lengths are REPAIRED, not
+        failed/truncated — transformer_melody/inference.py:129-157.)"""
+        if self._score_frame_bound(score) <= cap:
+            return [score]
+        t = len(score.phone_ids)
+        starts = list(score.syllable_bounds())
+        ends = starts[1:] + [t]
+        pieces, lo = [], 0
+        for s, e in zip(starts, ends):
+            if (s > lo
+                    and self._score_frame_bound(score.slice_phones(lo, e))
+                    > cap):
+                pieces.append(score.slice_phones(lo, s))
+                lo = s
+        pieces.append(score.slice_phones(lo, t))
+        import logging
+        logging.getLogger("music_generation_tpu").warning(
+            "sentence frame bound %d exceeds %d: split into %d sub-scores "
+            "at syllable boundaries (no audio dropped)",
+            self._score_frame_bound(score), cap, len(pieces))
+        return pieces
+
     def synthesize_batch(self, scores: list) -> list[np.ndarray]:
         """Batch independent sentences into ONE jitted SVS call (the melody
         stage is sequential due to previous-sentence conditioning, but SVS is
         not — batching it turns N launches into one MXU-friendly batch).
         Batches beyond MAX_BATCH sentences split into multiple calls so a
-        single 500-char request can't exceed HBM."""
+        single 500-char request can't exceed HBM; over-long single sentences
+        split at syllable boundaries (split_oversize) and their pieces are
+        re-joined, so the per-score output contract is unchanged."""
         if not scores:
             return []
+        groups = [self.split_oversize(s) for s in scores]
+        if any(len(g) > 1 for g in groups):
+            flat = [p for g in groups for p in g]
+            wavs = self.synthesize_batch(flat)
+            out, k = [], 0
+            for g in groups:
+                out.append(np.concatenate(wavs[k: k + len(g)])
+                           if len(g) > 1 else wavs[k])
+                k += len(g)
+            return out
         if len(scores) > self.max_batch:
             # dispatch every chunk first, then collect: chunk k+1's host
             # prep + H2D overlaps chunk k's device compute (async dispatch)
@@ -583,7 +634,8 @@ class SongSynthesizer:
 def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
                                    seed: int = 0, fused: bool = False,
                                    mesh=None, svs_nsf: bool = False,
-                                   svs_decoder: str = "hifigan"):
+                                   svs_decoder: str = "hifigan",
+                                   svs_decoder_bf16: bool = False):
     """Random-initialized full pipeline (weights are trained separately; the
     reference snapshot ships no usable checkpoints — see
     /root/reference/.MISSING_LARGE_BLOBS)."""
@@ -607,11 +659,14 @@ def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
     else:
         mcfg = MelodyConfig(src_vocab=lyric_dict.size, tgt_vocab=37)
         scfg = SVSConfig()
-    if svs_nsf or svs_decoder != "hifigan":
+    if svs_nsf or svs_decoder != "hifigan" or svs_decoder_bf16:
         # serve checkpoints from `train --nsf` / `train --decoder ...`
-        # (cfg must match how the params were trained)
+        # (cfg must match how the params were trained); decoder_bf16 is a
+        # pure compute flag (params stay fp32) that halves the
+        # bandwidth-bound vocoder's byte traffic
         import dataclasses as _dc
-        scfg = _dc.replace(scfg, nsf=svs_nsf, decoder_type=svs_decoder)
+        scfg = _dc.replace(scfg, nsf=svs_nsf, decoder_type=svs_decoder,
+                           decoder_bf16=svs_decoder_bf16)
     melody = MelodyGenerator(lyric_dict, note_dictionary(), cfg=mcfg,
                              duration_variant="mse", seed=seed)
     synths = {i: SVSSynthesizer(scfg, seed=seed + i, mesh=mesh)

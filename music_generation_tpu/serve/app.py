@@ -398,12 +398,22 @@ def main(argv=None):
                         choices=["hifigan", "istft", "mb_istft"],
                         help="SVS vocoder decoder family the checkpoints "
                              "were trained with (train --decoder)")
+    parser.add_argument("--decoder-bf16", action="store_true",
+                        help="run the vocoder decoder in bfloat16 (fp32 "
+                             "params; halves the bandwidth-bound decoder's "
+                             "byte traffic — see bench.py bf16 rows; "
+                             "output deviation bounded by "
+                             "tests/test_bf16_decoder.py)")
     parser.add_argument("--warmup", action="store_true",
                         help="synthesize one representative song before "
                              "accepting traffic so the common shape buckets "
                              "are compiled (first remote compile takes "
                              "minutes; warm requests are sub-second)")
     args = parser.parse_args(argv)
+    if args.nsf and args.decoder != "hifigan":
+        # fail at parse time, not minutes later in VISinger setup
+        # (visinger.py decoder wiring: NSF excitation is hifigan-only)
+        parser.error("--nsf requires --decoder hifigan")
 
     cfg = ServiceConfig.from_file(args.config) if args.config else ServiceConfig()
     cfg = ServiceConfig.from_env(cfg)
@@ -440,7 +450,8 @@ def main(argv=None):
     songs = build_default_song_synthesizer(tiny=cfg.tiny,
                                            n_speakers=cfg.n_speakers,
                                            mesh=mesh, svs_nsf=args.nsf,
-                                           svs_decoder=args.decoder)
+                                           svs_decoder=args.decoder,
+                                           svs_decoder_bf16=args.decoder_bf16)
     if spec.melody != "mse" or spec.accompaniment:  # variant melody family
         songs = SongSynthesizer(build_melody_generator(spec, tiny=cfg.tiny),
                                 songs.synthesizers,

@@ -123,38 +123,18 @@ def main(argv=None):
         print(f"process {jax.process_index()}/{jax.process_count()}")
     proc0 = jax.process_index() == 0
 
-    from ..models.svs import SVSConfig
     from ..parallel import (batch_sharding, make_hybrid_mesh, make_mesh,
                             put_global_batch, shard_params)
-    from . import (TrainConfig, create_states, make_train_step,
-                   restore_checkpoint, save_checkpoint, synthetic_batch)
+    from . import (TrainConfig, build_svs_config, create_states,
+                   make_train_step, restore_checkpoint, save_checkpoint,
+                   synthetic_batch, tool_shapes)
 
-    if args.tiny:
-        svs_cfg = SVSConfig(
-            inter_channels=16, hidden_channels=16, filter_channels=32,
-            n_heads=2, n_layers=1, spec_channels=65,
-            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
-            upsample_rates=(4, 4), upsample_initial_channel=32,
-            upsample_kernel_sizes=(8, 8), segment_size=16 * 8, hop_length=16)
-        t_phones, t_frames = 8, 32
-    else:
-        svs_cfg = SVSConfig()
-        t_phones, t_frames = 64, 480
-    if args.decoder != "hifigan":
-        import dataclasses as _dc
-        if args.tiny:
-            # tiny hop=16: istft 4*4=16; mb_istft 2*4*2=16
-            extra = (dict(istft_upsample_rates=(4,),
-                          istft_upsample_kernel_sizes=(8,))
-                     if args.decoder == "istft" else
-                     dict(mb_upsample_rates=(2,),
-                          mb_upsample_kernel_sizes=(4,), mb_subbands=2))
-            svs_cfg = _dc.replace(svs_cfg, decoder_type=args.decoder, **extra)
-        else:
-            svs_cfg = _dc.replace(svs_cfg, decoder_type=args.decoder)
-    if args.nsf:
-        import dataclasses as _dc
-        svs_cfg = _dc.replace(svs_cfg, nsf=True)
+    try:
+        svs_cfg = build_svs_config(tiny=args.tiny, decoder=args.decoder,
+                                   nsf=args.nsf)
+    except ValueError as e:
+        p.error(str(e))
+    t_phones, t_frames = tool_shapes(args.tiny)
 
     tcfg = TrainConfig(accumulate_grad_batches=args.accumulate_grad_batches,
                        bf16_run=args.bf16, use_mas=args.durations == "mas",

@@ -134,10 +134,21 @@ def _toy_melody_pairs_prev(n: int = 64, syllables: int = 6, seed: int = 0):
 
 
 def _toy_lyric_lines(n: int = 128, seed: int = 0):
+    """Song-shaped toy lyrics: every example is 3-5 comma-separated phrases
+    closed with '。', so LMs trained on it learn sentence boundaries and
+    termination — the downstream pipeline splits on that punctuation
+    (pipeline/synthesis.py split_sentences) and a boundary-free LM collapses
+    a whole song into one giant sentence."""
     rng = np.random.RandomState(seed)
-    base = ["小小的天有大大的梦想", "月亮代表我的心", "宁静的夏天天空中繁星点点",
-            "风吹过麦浪我们一起歌唱"]
-    return [base[rng.randint(len(base))] for _ in range(n)]
+    phrases = ["小小的天有大大的梦想", "月亮代表我的心", "宁静的夏天",
+               "天空中繁星点点", "风吹过麦浪", "我们一起歌唱",
+               "山间的清风", "海上的明月", "心中的远方", "少年的模样"]
+    lines = []
+    for _ in range(n):
+        k = 4 + int(rng.randint(3))
+        parts = [phrases[int(rng.randint(len(phrases)))] for _ in range(k)]
+        lines.append("，".join(parts) + "。")
+    return lines
 
 
 class _MelodyBatcher:
@@ -378,25 +389,42 @@ class _TeleMelodyBatcher:
 
 
 class _LyricBatcher:
-    def __init__(self, lines, tokenizer, t_len: int = 48, seed: int = 0,
-                 keywords=None):
+    """Fixed-shape LM batches in the SERVING layouts, terminated with the
+    tokenizer's EOS — targets without EOS train samplers that can never
+    stop (LyricGeneratorT5 waits for eos_token_id) and burn the whole
+    decode budget on degenerate text.
+
+    - gpt2: '[CLS] kw [SEP] <style> [SEP] text <结束>'
+      (LyricGeneratorGPT2.generate prompt layout)
+    - t5:   src '关键词：{kw} 长度：15', tgt 'text <eos>'
+      (LyricGeneratorT5.generate prompt layout)
+    """
+
+    def __init__(self, lines, tokenizer, t_len: int = 64, seed: int = 0,
+                 keywords=None, family: str = "t5",
+                 style: str = "<Pop 流行>"):
         self.lines, self.tok, self.t = lines, tokenizer, t_len
         self.keywords = keywords
+        self.family, self.style = family, style
         self.rng = np.random.RandomState(seed)
 
     def batch(self, bs: int):
+        tok = self.tok
         ids = np.zeros((bs, self.t), np.int32)
         src = np.zeros((bs, 16), np.int32)
         picks = self.rng.choice(len(self.lines), bs)
         for i, p in enumerate(picks):
-            enc = self.tok.encode(self.lines[p])[: self.t]
-            ids[i, : len(enc)] = enc
             kw = (self.keywords[p] if self.keywords
                   else self.lines[p][:2])
-            # the SERVING prompt layout (LyricGeneratorT5.generate:
-            # '关键词：{kw} 长度：{n}') so keyword-conditioned generation is
-            # in-distribution for trained checkpoints
-            kenc = self.tok.encode(f"关键词：{kw} 长度：15")[:16]
+            if self.family == "gpt2":
+                enc = ([tok.cls_id] + tok.encode(kw) + [tok.sep_id]
+                       + [tok.token_id(self.style)] + [tok.sep_id]
+                       + tok.encode(self.lines[p]) + [tok.eos_id])
+            else:
+                enc = tok.encode(self.lines[p]) + [tok.eos_id]
+            enc = enc[: self.t]
+            ids[i, : len(enc)] = enc
+            kenc = tok.encode(f"关键词：{kw} 长度：15")[:16]
             src[i, : len(kenc)] = kenc
         return {"ids": ids, "src": src, "tgt": ids}
 
@@ -538,15 +566,15 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
             jnp.asarray(b["src"]), jnp.asarray(b["durations_cs"], jnp.float32))
         return model, params, seq_losses.duration_sdp_loss, batcher
 
-    from ..models.lyrics import (GPT2, GPT2Config, T5, T5Config,
-                                 default_tokenizer)
+    from ..models.lyrics import (GPT2, GPT2Config, T5, default_tokenizer,
+                                 t5_config_for)
     tok = default_tokenizer("gpt2" if family == "gpt2" else "t5", tiny=tiny)
     if data:
         with open(data, encoding="utf-8") as f:
             lines = [ln.strip() for ln in f if ln.strip()]
     else:
         lines = _toy_lyric_lines(seed=seed)
-    batcher = _LyricBatcher(lines, tok, seed=seed)
+    batcher = _LyricBatcher(lines, tok, seed=seed, family=family)
     if family == "gpt2":
         cfg = (GPT2Config(vocab_size=tok.vocab_size, n_layer=1, n_embd=32,
                           n_head=2, n_positions=128) if tiny
@@ -554,9 +582,9 @@ def build_family(family: str, tiny: bool, data: str | None, seed: int = 0):
         model = GPT2(cfg)
         params = model.init(key, jnp.zeros((1, 8), jnp.int32))
         return model, params, seq_losses.lm_loss, batcher
-    cfg = (T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64,
-                    num_layers=1, num_decoder_layers=1, num_heads=4)
-           if tiny else T5Config(vocab_size=tok.vocab_size))
+    cfg = (t5_config_for(tok, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+                         num_decoder_layers=1, num_heads=4)
+           if tiny else t5_config_for(tok))
     model = T5(cfg)
     params = model.init(key, jnp.zeros((1, 8), jnp.int32),
                         jnp.ones((1, 8), jnp.int32),

@@ -295,6 +295,19 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
             if svs_cfg.autoencoder:
                 metrics["img_spec_predict"] = out["spec_predict"][0]
                 metrics["img_spec_target"] = batch["spec"][0]
+            # phone->frame alignment staircase (parity: the reference's
+            # plot_alignment_to_numpy, VISinger/utils/plot.py:24-45). For
+            # hard MAS the alignment IS the duration staircase, so this
+            # renders the learned alignment under --durations mas and the
+            # annotation alignment otherwise.
+            tgt = out["duration_targets"][0].astype(jnp.float32)
+            ends = jnp.cumsum(tgt)
+            starts = ends - tgt
+            t_idx = jnp.arange(out["mel_predict"].shape[1],
+                               dtype=jnp.float32)[:, None]
+            metrics["img_alignment"] = (
+                (t_idx >= starts[None, :]) & (t_idx < ends[None, :])
+            ).astype(jnp.float32)
         return total, (out, metrics)
 
     def train_step(gen_state, disc_state, batch, rng):

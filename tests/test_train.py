@@ -321,3 +321,27 @@ def test_saturation_guards(setup):
                         TrainConfig(disc_input_noise=0.05)))
     _, _, m2 = noisy(gen_state, disc_state, batch, jax.random.PRNGKey(0))
     assert float(m2["loss_disc"]) != float(m["loss_disc"])
+
+
+def test_log_images_alignment_staircase():
+    """--log-images emits an alignment heatmap (parity: the reference's
+    plot_alignment_to_numpy, VISinger/utils/plot.py:24-45): a monotone
+    phone->frame staircase whose per-phone column mass equals the duration
+    targets."""
+    tcfg = TrainConfig(log_images=True)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(TINY, batch=2, t_phones=8,
+                                         t_frames=32).items()}
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch)
+    step = jax.jit(make_train_step(gen, disc, TINY, tcfg))
+    _, _, metrics = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    img = np.asarray(metrics["img_alignment"])  # [T_frames, T_phones]
+    assert img.shape == (32, 8)
+    assert set(np.unique(img)) <= {0.0, 1.0}
+    # column sums reproduce the duration targets (frames per phone)
+    col = img.sum(axis=0)
+    np.testing.assert_allclose(col, np.asarray(batch["phone_durations"][0],
+                                               np.float32))
+    # monotone: each frame maps to at most one phone, in order
+    rows = img.argmax(axis=1)[img.sum(axis=1) > 0]
+    assert (np.diff(rows) >= 0).all()

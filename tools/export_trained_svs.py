@@ -35,28 +35,27 @@ def main():
                    help="pipeline checkpoint dir to write (svs_<id> subdirs)")
     p.add_argument("--nsf", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--decoder", default="hifigan",
+                   choices=("hifigan", "istft", "mb_istft"),
+                   help="must match the trainer's --decoder or the orbax "
+                        "restore target tree mismatches")
     p.add_argument("--speakers", type=int, nargs="+", default=[0])
     args = p.parse_args()
-
-    import dataclasses as _dc
 
     import jax.numpy as jnp
 
     from music_generation_tpu.compat.checkpoints import save_params
-    from music_generation_tpu.models.svs import SVSConfig
-    from music_generation_tpu.train import (TrainConfig, create_states,
-                                            restore_checkpoint)
+    from music_generation_tpu.train import (TrainConfig, build_svs_config,
+                                            create_states, restore_checkpoint,
+                                            tool_shapes)
     from music_generation_tpu.train.dataset import NpyDataset
 
-    cfg = SVSConfig() if not args.tiny else SVSConfig(
-        inter_channels=16, hidden_channels=16, filter_channels=32,
-        n_heads=2, n_layers=1, spec_channels=65,
-        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
-        upsample_rates=(4, 4), upsample_initial_channel=32,
-        upsample_kernel_sizes=(8, 8), segment_size=16 * 8, hop_length=16)
-    if args.nsf:
-        cfg = _dc.replace(cfg, nsf=True)
-    t_phones, t_frames = (8, 32) if args.tiny else (64, 480)
+    try:
+        cfg = build_svs_config(tiny=args.tiny, decoder=args.decoder,
+                               nsf=args.nsf)
+    except ValueError as e:
+        p.error(str(e))
+    t_phones, t_frames = tool_shapes(args.tiny)
 
     ds = NpyDataset(args.data_dir, cfg, t_phones=t_phones, t_frames=t_frames)
     batch = {k: jnp.asarray(v) for k, v in ds.batch(2).items()}

@@ -1,0 +1,82 @@
+"""Does MAS train models as well as duration annotations do?
+
+Round-2/3 done-criterion for the live MAS path (`train --durations mas`,
+ops/monotonic_align.py; the commented-out VITS path the reference carries at
+VISinger/models.py:590-604): at EQUAL steps and otherwise identical flags,
+the MAS-trained checkpoint's copy-synthesis mel-L1 must be within ~10% of
+the GT-duration-trained checkpoint's. Runs tools/eval_copy_synthesis.py on
+both and writes the comparison artifact.
+
+Usage:
+  python tools/mas_vs_gt.py --gt-ckpt /root/runs/gt_snap/step_2000 \
+      --mas-ckpt /root/runs/gan_mas/step_2000 --data-dir /root/runs/toy/npy \
+      --nsf --noise-scale 0 --out artifacts/mas_vs_gt.json
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_eval(ckpt: str, data_dir: str, extra: list[str]) -> dict:
+    out = tempfile.mktemp(suffix=".json")
+    cmd = [sys.executable, os.path.join(TOOLS, "eval_copy_synthesis.py"),
+           "--ckpt", ckpt, "--data-dir", data_dir, "--out", out] + extra
+    subprocess.run(cmd, check=True)
+    with open(out) as f:
+        return json.load(f)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--gt-ckpt", required=True,
+                   help="checkpoint trained with dataset phone durations")
+    p.add_argument("--mas-ckpt", required=True,
+                   help="same-flags checkpoint trained with --durations mas, "
+                        "at the SAME step")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--nsf", action="store_true")
+    p.add_argument("--noise-scale", type=float, default=0.0)
+    p.add_argument("--n", type=int, default=4)
+    p.add_argument("--tolerance", type=float, default=0.10,
+                   help="allowed relative mel-L1 excess of MAS over GT")
+    p.add_argument("--out", default="artifacts/mas_vs_gt.json")
+    args = p.parse_args()
+
+    extra = ["--noise-scale", str(args.noise_scale), "--n", str(args.n)]
+    if args.tiny:
+        extra.append("--tiny")
+    if args.nsf:
+        extra.append("--nsf")
+    gt = run_eval(args.gt_ckpt, args.data_dir, extra)
+    mas = run_eval(args.mas_ckpt, args.data_dir, extra)
+
+    key = "mel_l1_trained" if "mel_l1_trained" in gt else "mel_l1"
+    gt_l1, mas_l1 = float(gt[key]), float(mas[key])
+    ratio = mas_l1 / max(gt_l1, 1e-9)
+    result = {
+        "gt_ckpt": args.gt_ckpt,
+        "mas_ckpt": args.mas_ckpt,
+        "mel_l1_gt": gt_l1,
+        "mel_l1_mas": mas_l1,
+        "mas_over_gt_ratio": round(ratio, 4),
+        "within_tolerance": bool(ratio <= 1.0 + args.tolerance),
+        "tolerance": args.tolerance,
+        "gt_eval": gt,
+        "mas_eval": mas,
+    }
+    print(json.dumps({k: v for k, v in result.items()
+                      if not k.endswith("_eval")}))
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
