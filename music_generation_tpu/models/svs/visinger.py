@@ -97,6 +97,15 @@ class SVSConfig:
     # floor + tanh saturation on stationary-pitch data); this is the
     # NSF/VISinger-2-style fix. hifigan decoder_type only.
     nsf: bool = False
+    # Inference F0 source: "predict" (reference parity — the F0Predictor's
+    # frame log-f0 drives the f0 embedding and the NSF source,
+    # ext_modules/text_post_net; pipline_inference_svs_v6_multispeaker.py
+    # serves exactly this) or "score" (beyond-parity pitch control: the
+    # frame F0 is derived from the score's MIDI note ids instead, so the
+    # output is in tune by construction — standard practice in production
+    # singing synthesis where the score dictates pitch). Training is
+    # unaffected (GT F0 is always used there).
+    f0_mode: str = "predict"
 
     @property
     def hop_seconds(self) -> float:
@@ -366,7 +375,22 @@ class VISinger(nn.Module):
         mel_len = jnp.minimum(mel_len, max_frames)
         y_mask = feature_mask(mel_len, max_frames)
 
-        m_p, logs_p, log_f0, mel_predict = self.text_post_net(h_lr, y_mask)
+        f0_score_coarse = None
+        lf0_score = None
+        if c.f0_mode == "score":
+            # frame F0 from the score's MIDI notes (0 = rest -> 0 Hz),
+            # expanded with the SAME frame counts as the text hidden
+            hz_ph = jnp.where(note_ids > 0,
+                              440.0 * jnp.exp2(
+                                  (note_ids.astype(jnp.float32) - 69.0) / 12.0),
+                              0.0)
+            hz_fr, _ = expand_by_durations(hz_ph[..., None], frames,
+                                           max_frames)
+            hz_fr = hz_fr[..., 0] * y_mask[..., 0]
+            lf0_score = jnp.log1p(hz_fr)
+            f0_score_coarse = f0_to_coarse(hz_fr)
+        m_p, logs_p, log_f0, mel_predict = self.text_post_net(
+            h_lr, y_mask, f0_score=f0_score_coarse)
         if noise is None:
             noise = jax.random.normal(self.make_rng("noise"), m_p.shape)
         z_p = m_p + noise * jnp.exp(logs_p) * noise_scale
@@ -377,12 +401,16 @@ class VISinger(nn.Module):
         else:
             spec_predict = None
             hidden = z * y_mask
-        aux = {"log_f0": log_f0, "mel_predict": mel_predict,
+        lf0_used = (lf0_score if lf0_score is not None
+                    else log_f0 * y_mask[..., 0])
+        aux = {"log_f0": log_f0, "log_f0_used": lf0_used,
+               "mel_predict": mel_predict,
                "spec_predict": spec_predict, "frames": frames}
         if c.nsf:
-            # full-length source from the PREDICTED F0; callers slice it
-            # alongside hidden so frame-chunked decodes stay phase-continuous
-            aux["exc"] = self._excitation(log_f0 * y_mask[..., 0])
+            # full-length source from the predicted (f0_mode="predict") or
+            # score-derived (f0_mode="score") F0; callers slice it alongside
+            # hidden so frame-chunked decodes stay phase-continuous
+            aux["exc"] = self._excitation(lf0_used)
         return hidden, mel_len, aux
 
     def decode_hidden(self, hidden, g=None, exc=None):

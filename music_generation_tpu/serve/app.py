@@ -404,6 +404,12 @@ def main(argv=None):
                              "byte traffic — see bench.py bf16 rows; "
                              "output deviation bounded by "
                              "tests/test_bf16_decoder.py)")
+    parser.add_argument("--f0", default="predict",
+                        choices=["predict", "score"],
+                        help="inference F0 source: 'predict' = the trained "
+                             "F0Predictor (reference parity); 'score' = "
+                             "frame F0 derived from the score's MIDI notes "
+                             "(in tune by construction — SVSConfig.f0_mode)")
     parser.add_argument("--warmup", action="store_true",
                         help="synthesize one representative song before "
                              "accepting traffic so the common shape buckets "
@@ -451,7 +457,8 @@ def main(argv=None):
                                            n_speakers=cfg.n_speakers,
                                            mesh=mesh, svs_nsf=args.nsf,
                                            svs_decoder=args.decoder,
-                                           svs_decoder_bf16=args.decoder_bf16)
+                                           svs_decoder_bf16=args.decoder_bf16,
+                                           svs_f0_mode=args.f0)
     if spec.melody != "mse" or spec.accompaniment:  # variant melody family
         songs = SongSynthesizer(build_melody_generator(spec, tiny=cfg.tiny),
                                 songs.synthesizers,

@@ -118,6 +118,10 @@ def main():
     p.add_argument("--pinned", action="store_true",
                    help="pin per-phone frames from the score (exact note "
                         "windows; isolates pitch from duration error)")
+    p.add_argument("--f0", default="predict", choices=("predict", "score"),
+                   help="inference F0 source (SVSConfig.f0_mode): 'score' "
+                        "derives frame F0 from the MIDI notes instead of "
+                        "the F0Predictor")
     p.add_argument("--out", default=None)
     p.add_argument("--wav-out", default=None)
     args = p.parse_args()
@@ -137,6 +141,11 @@ def main():
                                nsf=args.nsf)
     except ValueError as e:
         p.error(str(e))
+    if args.f0 != "predict":
+        import dataclasses as _dc
+        # pure inference choice; the param tree (F0Predictor included) is
+        # unchanged, so the restore target still matches the trainer's
+        cfg = _dc.replace(cfg, f0_mode=args.f0)
     t_phones, t_frames = tool_shapes(args.tiny)
 
     ds = NpyDataset(args.data_dir, cfg, t_phones=t_phones, t_frames=t_frames)
@@ -193,6 +202,7 @@ def main():
     result = {
         "ckpt": args.ckpt,
         "pinned_durations": bool(args.pinned),
+        "f0_mode": args.f0,
         "n_notes": n_notes,
         "n_tracked_notes": int(len(valid)),
         "note_median_rmse_semitones":
