@@ -22,7 +22,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", required=True, nargs="+",
+                   help="one or more trainer step_N dirs; all share one jit "
+                        "program (the compile dominates, restores are cheap)."
+                        " --wav-out/--dump apply to the FIRST; --out holds a"
+                        " list when several are given")
     p.add_argument("--data-dir", required=True)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--n", type=int, default=4)
@@ -70,8 +74,6 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in ds.batch(args.n).items()}
     gen_state, disc_state, gen, _ = create_states(cfg, TrainConfig(), batch)
     random_params = gen_state.params
-    gen_state, _ = restore_checkpoint(os.path.abspath(args.ckpt), gen_state,
-                                      disc_state)
 
     @jax.jit
     def reconstruct(params, spec, y_lengths, log_f0, noise_key):
@@ -117,12 +119,7 @@ def main():
             n_f += f * mel_rec.shape[-1]
         return total / max(n, 1), rec, total_f / max(n_f, 1)
 
-    trained_l1, rec, trained_l1_floored = mel_l1(gen_state.params)
     random_l1, _, _ = mel_l1(random_params)
-    delta = sum(float(np.abs(a - b).sum()) for a, b in zip(
-        jax.tree_util.tree_leaves(gen_state.params),
-        jax.tree_util.tree_leaves(random_params)))
-    print(f"restored param L1 delta vs random init: {delta:.3e}")
 
     # F0-tracking probe: YIN pitch of the reconstruction vs the target
     # audio's own YIN track over voiced frames — does the trained vocoder
@@ -145,48 +142,65 @@ def main():
                 errs.append(float(np.sqrt(np.mean(d ** 2))))
         return round(float(np.mean(errs)), 3) if errs else None
 
-    trained_f0 = f0_rmse_semitones(rec)
-    # tanh-saturation telemetry: the decoder death state (DC rail + ripple)
-    # can still score deceptively well on YIN-F0 and log-mel metrics, so
-    # report it explicitly (healthy: |dc| ~0, sat_frac ~0, rms ratio ~1)
-    ref_np = np.asarray(batch["audio"])[..., 0][:, : rec.shape[1]]
-    sat = {"audio_dc": round(float(rec.mean()), 4),
-           "audio_sat_frac": round(float((np.abs(rec) > 0.95).mean()), 4),
-           "rms_ratio_rec_vs_ref": round(
-               float(np.sqrt((rec ** 2).mean()) /
-                     max(np.sqrt((ref_np ** 2).mean()), 1e-9)), 3)}
-    # explicit verdict so a railed decoder can't hide behind good-looking
-    # mel/F0 numbers in a committed artifact
-    sat["dc_railed"] = bool(abs(sat["audio_dc"]) > 0.5
-                            or sat["audio_sat_frac"] > 0.5)
-    if sat["dc_railed"]:
-        print("WARNING: reconstruction is DC-railed/saturated — the mel-L1 "
-              "and F0 numbers below are NOT valid quality evidence",
-              file=sys.stderr)
-    result = {"ckpt": args.ckpt, "n_utts": args.n,
-              "mel_l1_trained": round(trained_l1, 4),
-              "mel_l1_audible_trained": round(trained_l1_floored, 4),
-              "mel_l1_random_init": round(random_l1, 4),
-              "improvement_x": round(random_l1 / max(trained_l1, 1e-9), 2),
-              "f0_rmse_semitones_trained": trained_f0, **sat}
-    print(json.dumps(result))
+    results = []
+    for k, ckpt in enumerate(args.ckpt):
+        state_k, _ = restore_checkpoint(os.path.abspath(ckpt), gen_state,
+                                        disc_state)
+        delta = sum(float(np.abs(a - b).sum()) for a, b in zip(
+            jax.tree_util.tree_leaves(state_k.params),
+            jax.tree_util.tree_leaves(random_params)))
+        print(f"{ckpt}: restored param L1 delta vs random init: {delta:.3e}")
+        trained_l1, rec, trained_l1_floored = mel_l1(state_k.params)
+        trained_f0 = f0_rmse_semitones(rec)
+        # tanh-saturation telemetry: the decoder death state (DC rail +
+        # ripple) can still score deceptively well on YIN-F0 and log-mel
+        # metrics, so report it explicitly (healthy: |dc| ~0, sat_frac ~0,
+        # rms ratio ~1)
+        ref_np = np.asarray(batch["audio"])[..., 0][:, : rec.shape[1]]
+        sat = {"audio_dc": round(float(rec.mean()), 4),
+               "audio_sat_frac": round(float((np.abs(rec) > 0.95).mean()), 4),
+               "rms_ratio_rec_vs_ref": round(
+                   float(np.sqrt((rec ** 2).mean()) /
+                         max(np.sqrt((ref_np ** 2).mean()), 1e-9)), 3)}
+        # explicit verdict so a railed decoder can't hide behind good-looking
+        # mel/F0 numbers in a committed artifact
+        sat["dc_railed"] = bool(abs(sat["audio_dc"]) > 0.5
+                                or sat["audio_sat_frac"] > 0.5)
+        if sat["dc_railed"]:
+            print("WARNING: reconstruction is DC-railed/saturated — the "
+                  "mel-L1 and F0 numbers below are NOT valid quality "
+                  "evidence", file=sys.stderr)
+        result = {"ckpt": ckpt, "n_utts": args.n,
+                  "mel_l1_trained": round(trained_l1, 4),
+                  "mel_l1_audible_trained": round(trained_l1_floored, 4),
+                  "mel_l1_random_init": round(random_l1, 4),
+                  "improvement_x": round(random_l1 / max(trained_l1, 1e-9),
+                                         2),
+                  "f0_rmse_semitones_trained": trained_f0, **sat}
+        print(json.dumps(result))
+        results.append(result)
+        if k > 0:
+            continue  # wav/dump artifacts come from the first ckpt
+        if args.dump:
+            np.savez(args.dump, rec=rec,
+                     ref=np.asarray(batch["audio"])[..., 0],
+                     y_lengths=y_len)
+        if args.wav_out:
+            from music_generation_tpu.audio.wav import (normalize_int16,
+                                                        write_wav)
+            n0 = min(int(y_len[0]) * cfg.hop_length, rec.shape[1])
+            write_wav(args.wav_out, normalize_int16(rec[0, :n0] * 32767.0),
+                      cfg.sampling_rate)
+            ref0 = np.asarray(batch["audio"])[0, :n0, 0]
+            base, ext = os.path.splitext(args.wav_out)
+            write_wav(base + "_target" + ext,
+                      normalize_int16(ref0 * 32767.0), cfg.sampling_rate)
+
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
-            json.dump(result, f, indent=1)
-    if args.dump:
-        np.savez(args.dump, rec=rec,
-                 ref=np.asarray(batch["audio"])[..., 0],
-                 y_lengths=y_len)
-    if args.wav_out:
-        from music_generation_tpu.audio.wav import normalize_int16, write_wav
-        n0 = min(int(y_len[0]) * cfg.hop_length, rec.shape[1])
-        write_wav(args.wav_out, normalize_int16(rec[0, :n0] * 32767.0),
-                  cfg.sampling_rate)
-        ref0 = np.asarray(batch["audio"])[0, :n0, 0]
-        base, ext = os.path.splitext(args.wav_out)
-        write_wav(base + "_target" + ext,
-                  normalize_int16(ref0 * 32767.0), cfg.sampling_rate)
+            json.dump(results[0] if len(results) == 1 else results, f,
+                      indent=1)
 
 
 if __name__ == "__main__":

@@ -23,22 +23,27 @@ import tempfile
 TOOLS = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_eval(ckpt: str, data_dir: str, extra: list[str]) -> dict:
+def run_eval(ckpts: list[str], data_dir: str, extra: list[str]) -> list[dict]:
+    """One subprocess for ALL of a side's checkpoints: they share one jit
+    program (the compile dominates; orbax restores are cheap)."""
     out = tempfile.mktemp(suffix=".json")
     cmd = [sys.executable, os.path.join(TOOLS, "eval_copy_synthesis.py"),
-           "--ckpt", ckpt, "--data-dir", data_dir, "--out", out] + extra
+           "--ckpt", *ckpts, "--data-dir", data_dir, "--out", out] + extra
     subprocess.run(cmd, check=True)
     with open(out) as f:
-        return json.load(f)
+        res = json.load(f)
+    return res if isinstance(res, list) else [res]
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--gt-ckpt", required=True,
-                   help="checkpoint trained with dataset phone durations")
-    p.add_argument("--mas-ckpt", required=True,
-                   help="same-flags checkpoint trained with --durations mas, "
-                        "at the SAME step")
+    p.add_argument("--gt-ckpt", required=True, nargs="+",
+                   help="checkpoint(s) trained with dataset phone durations")
+    p.add_argument("--mas-ckpt", required=True, nargs="+",
+                   help="same-flags checkpoint(s) trained with --durations "
+                        "mas, at the SAME steps (pairwise with --gt-ckpt); "
+                        "several step pairs average out GAN step-to-step "
+                        "noise")
     p.add_argument("--data-dir", required=True)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--nsf", action="store_true")
@@ -54,19 +59,22 @@ def main():
         extra.append("--tiny")
     if args.nsf:
         extra.append("--nsf")
+    if len(args.gt_ckpt) != len(args.mas_ckpt):
+        p.error("--gt-ckpt and --mas-ckpt must pair up step for step")
     gt = run_eval(args.gt_ckpt, args.data_dir, extra)
     mas = run_eval(args.mas_ckpt, args.data_dir, extra)
 
-    key = "mel_l1_trained" if "mel_l1_trained" in gt else "mel_l1"
-    gt_l1, mas_l1 = float(gt[key]), float(mas[key])
-    ratio = mas_l1 / max(gt_l1, 1e-9)
+    pairs = []
+    for g, m in zip(gt, mas):
+        gl, ml = float(g["mel_l1_trained"]), float(m["mel_l1_trained"])
+        pairs.append({"gt_ckpt": g["ckpt"], "mas_ckpt": m["ckpt"],
+                      "mel_l1_gt": gl, "mel_l1_mas": ml,
+                      "ratio": round(ml / max(gl, 1e-9), 4)})
+    mean_ratio = sum(x["ratio"] for x in pairs) / len(pairs)
     result = {
-        "gt_ckpt": args.gt_ckpt,
-        "mas_ckpt": args.mas_ckpt,
-        "mel_l1_gt": gt_l1,
-        "mel_l1_mas": mas_l1,
-        "mas_over_gt_ratio": round(ratio, 4),
-        "within_tolerance": bool(ratio <= 1.0 + args.tolerance),
+        "pairs": pairs,
+        "mean_mas_over_gt_ratio": round(mean_ratio, 4),
+        "within_tolerance": bool(mean_ratio <= 1.0 + args.tolerance),
         "tolerance": args.tolerance,
         "gt_eval": gt,
         "mas_eval": mas,
