@@ -2,8 +2,8 @@
 //
 // Algorithmic twin of music_generation_tpu/audio/f0.py yin_f0 (de Cheveigné
 // & Kawahara 2002): difference function over a frame_length/2 correlation
-// window, cumulative-mean normalization, absolute threshold with a bounded
-// local-minimum walk and parabolic interpolation. The numpy version
+// window, cumulative-mean normalization, absolute threshold with dip-run
+// argmin refinement and parabolic interpolation. The numpy version
 // computes the correlation via FFT; here it is direct summation in double,
 // restricted to the searched lag range [1, tau_max] — O(w * tau_max) per
 // frame instead of O(frame_length log frame_length), and frames parallelize
@@ -53,19 +53,24 @@ extern "C" void yin_f0_c(const float* wav, int64_t n, int sr, int hop,
         csum += d[tau];
         cmndf[tau] = d[tau] * tau / std::max(csum, 1e-12);
       }
-      // absolute threshold over [tau_min, tau_max): first lag under it,
-      // else the band argmin; voiced iff any lag was under
+      // absolute threshold over [tau_min, tau_max): the dip is the
+      // contiguous under-threshold run from the first crossing; take its
+      // argmin. (A greedy walk-while-decreasing stalls on cmndf ripple and
+      // reads systematically sharp — see the numpy twin.) Unvoiced: band
+      // argmin.
       int first = tau_min;
       bool voiced = false;
       double best = cmndf[tau_min];
       for (int tau = tau_min; tau < tau_max; ++tau) {
-        if (cmndf[tau] < threshold) { first = tau; voiced = true; break; }
+        if (cmndf[tau] < threshold) {
+          voiced = true;
+          first = tau;
+          double bestv = cmndf[tau];
+          for (int t2 = tau + 1; t2 < tau_max && cmndf[t2] < threshold; ++t2)
+            if (cmndf[t2] < bestv) { bestv = cmndf[t2]; first = t2; }
+          break;
+        }
         if (cmndf[tau] < best) { best = cmndf[tau]; first = tau; }
-      }
-      // bounded walk to the local minimum after the crossing
-      for (int s = 0; s < 8; ++s) {
-        int nxt = std::min(first + 1, tau_max - 1);
-        if (cmndf[nxt] < cmndf[first]) first = nxt; else break;
       }
       // parabolic interpolation (first is in [tau_min, tau_max-1], so the
       // numpy clip to [1, w-2] is a no-op and tau±1 stay in range)

@@ -68,12 +68,16 @@ def native_available() -> bool:
 
 def yin_f0_native(wav: np.ndarray, sample_rate: int = 22050, hop: int = 256,
                   frame_length: int = 2048, fmin: float = 60.0,
-                  fmax: float = 1000.0,
-                  threshold: float = 0.15) -> np.ndarray:
-    """Same contract as audio.f0.yin_f0, but C++/OpenMP (native/yin.cc)."""
+                  fmax: float = 1000.0, threshold: float = 0.15,
+                  lp_hz: float = 4000.0) -> np.ndarray:
+    """Same contract as audio.f0.yin_f0, but C++/OpenMP (native/yin.cc).
+    The anti-imaging prefilter (audio.f0._yin_prefilter) runs here in numpy
+    so both twins see byte-identical input."""
     lib = _load()
     if lib is None or not hasattr(lib, "yin_f0_c"):
         raise RuntimeError("native library unavailable or stale")
+    from ..audio.f0 import _yin_prefilter
+    wav = _yin_prefilter(wav, sample_rate, lp_hz)
     wav = np.ascontiguousarray(np.asarray(wav).reshape(-1), dtype=np.float32)
     n_frames = 1 + len(wav) // hop
     out = np.zeros(n_frames, dtype=np.float32)
