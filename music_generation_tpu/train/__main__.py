@@ -57,6 +57,11 @@ def main(argv=None):
                         "(skips the discriminator update)")
     p.add_argument("--c-fm", type=float, default=None,
                    help="feature-matching weight")
+    p.add_argument("--c-stft", type=float, default=None,
+                   help="multi-resolution STFT loss weight (full-band "
+                        "magnitude pressure to Nyquist; counters upsampler "
+                        "imaging the 7600 Hz-capped mel loss can't see). "
+                        "0/None = off (reference recipe parity)")
     p.add_argument("--c-spec", type=float, default=None,
                    help="AE spec_predict L1 weight (default = c_mel); set "
                         "low to focus gradient on the vocoder once the "
@@ -143,6 +148,7 @@ def main(argv=None):
     import dataclasses as _dc
     for field, val in (("c_kl_rev", args.c_kl_rev), ("c_adv", args.c_adv),
                        ("c_fm", args.c_fm), ("c_mel", args.c_mel),
+                       ("c_stft", args.c_stft),
                        ("c_spec", args.c_spec), ("learning_rate", args.lr),
                        ("warmup_steps", args.warmup_steps),
                        ("grad_clip_norm", args.grad_clip_norm),

@@ -61,6 +61,12 @@ class TrainConfig:
     # round-2 full-size run, loss_gen ~15k by step 1800 from this term while
     # loss_mel rose 26 -> 44). Default damps it to a regularizer.
     c_kl_rev: float = 0.05
+    # multi-resolution STFT loss weight (losses.multires_stft_loss):
+    # full-band (to-Nyquist) magnitude pressure the 7600 Hz-capped mel loss
+    # can't provide — counters upsampler imaging (a measured -10 dB
+    # fs/2 - f0 tone on the NSF decoder). 0 = off (reference recipe parity);
+    # ~2.5 gives it loss-scale comparable to c_mel*melL1 late in training.
+    c_stft: float = 0.0
     seed: int = 1234
     grad_clip: float = 500.0
     # global-norm clip + LR warmup: the random-init KL/reverse-KL transient
@@ -270,10 +276,15 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
         l_dc = jnp.mean(jnp.mean(out["audio"][..., 0], axis=1) ** 2) \
             * train_cfg.c_dc
         total = l_mel + l_kl + l_kl_rev + l_dur + l_f0 + l_adv + l_fm + l_dc
+        if train_cfg.c_stft > 0:
+            l_stft = losses.multires_stft_loss(
+                out["audio"][..., 0], y_real[..., 0]) * train_cfg.c_stft
+            total = total + l_stft
         metrics = {"loss_gen": total, "loss_mel": l_mel, "loss_kl": l_kl,
                    "loss_kl_rev": l_kl_rev, "loss_dur": l_dur,
                    "loss_f0": l_f0, "loss_adv": l_adv, "loss_fm": l_fm,
                    "loss_dc": l_dc,
+                   **({"loss_stft": l_stft} if train_cfg.c_stft > 0 else {}),
                    # tanh-saturation telemetry: a healthy decoder stays well
                    # inside |y|<0.95; sat_frac ramping toward 1 is the
                    # death-state signature (gradients about to vanish)

@@ -345,3 +345,23 @@ def test_log_images_alignment_staircase():
     # monotone: each frame maps to at most one phone, in order
     rows = img.argmax(axis=1)[img.sum(axis=1) > 0]
     assert (np.diff(rows) >= 0).all()
+
+
+def test_stft_loss_train_step(setup):
+    """--c-stft: the opt-in multi-resolution STFT loss (full-band magnitude
+    pressure to Nyquist — the 7600 Hz-capped mel loss can't see upsampler
+    imaging) reports finite loss_stft, contributes to loss_gen, and params
+    still move."""
+    import dataclasses
+    batch, _, _, _ = setup
+    tcfg = dataclasses.replace(TrainConfig(), c_stft=2.5)
+    gen_state, disc_state, gen, disc = create_states(TINY, tcfg, batch)
+    step = jax.jit(make_train_step(gen, disc, TINY, tcfg))
+    g2, _, metrics = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    assert "loss_stft" in metrics
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert float(metrics["loss_stft"]) > 0
+    leaf0 = jax.tree_util.tree_leaves(gen_state.params)[0]
+    leaf1 = jax.tree_util.tree_leaves(g2.params)[0]
+    assert np.abs(np.asarray(leaf0 - leaf1)).max() > 0
