@@ -50,6 +50,20 @@ def f0_to_coarse(f0: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(scaled + 0.5).astype(jnp.int32)
 
 
+def note_hz_frames(note_ids: jnp.ndarray, frames: jnp.ndarray,
+                   max_frames: int) -> jnp.ndarray:
+    """Per-frame Hz of the score's MIDI notes (0 at rests, note_id 0),
+    length-regulated with the SAME per-phone frame counts as the text
+    hidden — the deterministic pitch base for f0_mode="score" and the
+    f0_residual head. [B, T_phones] int note ids -> [B, max_frames] f32."""
+    hz_ph = jnp.where(
+        note_ids > 0,
+        440.0 * jnp.exp2((note_ids.astype(jnp.float32) - 69.0) / 12.0),
+        0.0)
+    hz_fr, _ = expand_by_durations(hz_ph[..., None], frames, max_frames)
+    return hz_fr[..., 0]
+
+
 @dataclasses.dataclass(frozen=True)
 class SVSConfig:
     """Model hyperparameters (defaults = VISinger/configs/ours_ae.json)."""
@@ -106,6 +120,18 @@ class SVSConfig:
     # singing synthesis where the score dictates pitch). Training is
     # unaffected (GT F0 is always used there).
     f0_mode: str = "predict"
+    # Residual F0 head (beyond-parity): the F0Predictor's zero-initialized
+    # output is a deviation ADDED to the score note's frame log-F0 (same
+    # length regulation as the text hidden), instead of an absolute log-F0.
+    # The model starts exactly on pitch and learns only the expressive
+    # deviation (vibrato, transitions, unvoiced dips), which removes the
+    # systematic intonation bias an absolute head converges to on small
+    # corpora (observed +1.5 st on the toy set, artifacts/
+    # sung_song_sweep.json) while keeping f0_mode="predict" expressive —
+    # unlike the hard "score" override. Applies to training AND inference;
+    # checkpoints are tree-compatible either way (same parameters, only the
+    # out-conv init and the head's meaning differ).
+    f0_residual: bool = False
 
     @property
     def hop_seconds(self) -> float:
@@ -144,6 +170,9 @@ class TextEncoder(nn.Module):
 class F0Predictor(nn.Module):
     cfg: SVSConfig
     n_layers: int = 6
+    # zero-init the output conv so a residual head (cfg.f0_residual) starts
+    # at exactly the note pitch; parameter tree is unchanged
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -152,7 +181,10 @@ class F0Predictor(nn.Module):
             self.cfg.n_heads, self.n_layers, self.cfg.kernel_size,
             self.cfg.p_dropout, name="encoder")(x * mask, mask,
                                                 deterministic=deterministic)
-        log_f0 = Conv1d(1, 1, name="out")(h * mask) * mask
+        out_init = (nn.initializers.zeros if self.zero_init
+                    else nn.initializers.lecun_normal())
+        log_f0 = Conv1d(1, 1, kernel_init=out_init,
+                        name="out")(h * mask) * mask
         return log_f0[..., 0]
 
 
@@ -196,15 +228,20 @@ class TextPostNet(nn.Module):
     max_positions: int = 2000
 
     @nn.compact
-    def __call__(self, x, mask, f0_score=None, deterministic: bool = True):
+    def __call__(self, x, mask, f0_score=None, lf0_base=None,
+                 deterministic: bool = True):
         h = self.cfg.hidden_channels
         t = x.shape[1]
         pos_emb = nn.Embed(self.max_positions, h, name="position_embeddings")(
             jnp.arange(t)[None, :])
         x_emb = (x + pos_emb) * mask
 
-        log_f0 = F0Predictor(self.cfg, name="f0_predictor")(
-            x_emb, mask, deterministic)
+        log_f0 = F0Predictor(self.cfg, zero_init=self.cfg.f0_residual,
+                             name="f0_predictor")(x_emb, mask, deterministic)
+        if lf0_base is not None:
+            # residual head: the predictor output is a deviation around the
+            # score note's log1p-F0 (cfg.f0_residual)
+            log_f0 = (log_f0 + lf0_base) * mask[..., 0]
         if f0_score is None:
             f0_score = f0_to_coarse(jnp.exp(log_f0) - 1.0)
         f0_emb = nn.Embed(300, h, name="f0_emb")(f0_score) * mask
@@ -377,20 +414,19 @@ class VISinger(nn.Module):
 
         f0_score_coarse = None
         lf0_score = None
-        if c.f0_mode == "score":
+        lf0_base = None
+        if c.f0_mode == "score" or c.f0_residual:
             # frame F0 from the score's MIDI notes (0 = rest -> 0 Hz),
             # expanded with the SAME frame counts as the text hidden
-            hz_ph = jnp.where(note_ids > 0,
-                              440.0 * jnp.exp2(
-                                  (note_ids.astype(jnp.float32) - 69.0) / 12.0),
-                              0.0)
-            hz_fr, _ = expand_by_durations(hz_ph[..., None], frames,
-                                           max_frames)
-            hz_fr = hz_fr[..., 0] * y_mask[..., 0]
-            lf0_score = jnp.log1p(hz_fr)
-            f0_score_coarse = f0_to_coarse(hz_fr)
+            hz_fr = note_hz_frames(note_ids, frames,
+                                   max_frames) * y_mask[..., 0]
+            if c.f0_mode == "score":
+                lf0_score = jnp.log1p(hz_fr)
+                f0_score_coarse = f0_to_coarse(hz_fr)
+            if c.f0_residual:
+                lf0_base = jnp.log1p(hz_fr)
         m_p, logs_p, log_f0, mel_predict = self.text_post_net(
-            h_lr, y_mask, f0_score=f0_score_coarse)
+            h_lr, y_mask, f0_score=f0_score_coarse, lf0_base=lf0_base)
         if noise is None:
             noise = jax.random.normal(self.make_rng("noise"), m_p.shape)
         z_p = m_p + noise * jnp.exp(logs_p) * noise_scale
@@ -504,8 +540,17 @@ class VISinger(nn.Module):
         # (teacher forcing); a shared name would silently shadow the batch F0
         # and let mel/adv gradients flow into the F0 predictor through the
         # sine source, dragging it away from its YIN target.
+        lf0_base = None
+        if c.f0_residual:
+            # deviation target: the head trains against (GT lf0 - note lf0),
+            # expanded with the ACTUAL durations that drove the
+            # LengthRegulator (ground truth or in-step MAS)
+            lf0_base = jnp.log1p(
+                note_hz_frames(note_ids, phone_durations,
+                               max_frames)) * y_mask[..., 0]
         m_p, logs_p, log_f0_pred, mel_predict = self.text_post_net(
-            h_lr, y_mask, f0_score=f0_score, deterministic=deterministic)
+            h_lr, y_mask, f0_score=f0_score, lf0_base=lf0_base,
+            deterministic=deterministic)
 
         # reverse-KL sample
         noise = jax.random.normal(self.make_rng("noise"), m_p.shape)

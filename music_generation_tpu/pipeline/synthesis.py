@@ -636,7 +636,8 @@ def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
                                    mesh=None, svs_nsf: bool = False,
                                    svs_decoder: str = "hifigan",
                                    svs_decoder_bf16: bool = False,
-                                   svs_f0_mode: str = "predict"):
+                                   svs_f0_mode: str = "predict",
+                                   svs_f0_residual: bool = False):
     """Random-initialized full pipeline (weights are trained separately; the
     reference snapshot ships no usable checkpoints — see
     /root/reference/.MISSING_LARGE_BLOBS)."""
@@ -661,7 +662,7 @@ def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
         mcfg = MelodyConfig(src_vocab=lyric_dict.size, tgt_vocab=37)
         scfg = SVSConfig()
     if (svs_nsf or svs_decoder != "hifigan" or svs_decoder_bf16
-            or svs_f0_mode != "predict"):
+            or svs_f0_mode != "predict" or svs_f0_residual):
         # serve checkpoints from `train --nsf` / `train --decoder ...`
         # (cfg must match how the params were trained); decoder_bf16 is a
         # pure compute flag (params stay fp32) that halves the
@@ -670,7 +671,8 @@ def build_default_song_synthesizer(tiny: bool = False, n_speakers: int = 3,
         import dataclasses as _dc
         scfg = _dc.replace(scfg, nsf=svs_nsf, decoder_type=svs_decoder,
                            decoder_bf16=svs_decoder_bf16,
-                           f0_mode=svs_f0_mode)
+                           f0_mode=svs_f0_mode,
+                           f0_residual=svs_f0_residual)
     melody = MelodyGenerator(lyric_dict, note_dictionary(), cfg=mcfg,
                              duration_variant="mse", seed=seed)
     synths = {i: SVSSynthesizer(scfg, seed=seed + i, mesh=mesh)

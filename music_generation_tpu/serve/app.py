@@ -410,6 +410,10 @@ def main(argv=None):
                              "F0Predictor (reference parity); 'score' = "
                              "frame F0 derived from the score's MIDI notes "
                              "(in tune by construction — SVSConfig.f0_mode)")
+    parser.add_argument("--f0-residual", action="store_true",
+                        help="checkpoints were trained with train "
+                             "--f0-residual (the F0 head is a deviation "
+                             "around the note pitch; SVSConfig.f0_residual)")
     parser.add_argument("--warmup", action="store_true",
                         help="synthesize one representative song before "
                              "accepting traffic so the common shape buckets "
@@ -458,7 +462,8 @@ def main(argv=None):
                                            mesh=mesh, svs_nsf=args.nsf,
                                            svs_decoder=args.decoder,
                                            svs_decoder_bf16=args.decoder_bf16,
-                                           svs_f0_mode=args.f0)
+                                           svs_f0_mode=args.f0,
+                                           svs_f0_residual=args.f0_residual)
     if spec.melody != "mse" or spec.accompaniment:  # variant melody family
         songs = SongSynthesizer(build_melody_generator(spec, tiny=cfg.tiny),
                                 songs.synthesizers,

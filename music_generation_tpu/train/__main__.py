@@ -104,6 +104,12 @@ def main(argv=None):
                    help="vocoder decoder family (istft variants trade the "
                         "highest-rate conv stages for an inverse STFT; "
                         "models/svs/istft.py)")
+    p.add_argument("--f0-residual", action="store_true",
+                   help="residual F0 head: the (zero-initialized) predictor "
+                        "output is a deviation added to the score note's "
+                        "log-F0 instead of an absolute log-F0 — starts on "
+                        "pitch, learns only expressive deviation "
+                        "(SVSConfig.f0_residual)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host DCN; each "
                         "host runs this same command). --batch-size is "
@@ -136,7 +142,8 @@ def main(argv=None):
 
     try:
         svs_cfg = build_svs_config(tiny=args.tiny, decoder=args.decoder,
-                                   nsf=args.nsf)
+                                   nsf=args.nsf,
+                                   f0_residual=args.f0_residual)
     except ValueError as e:
         p.error(str(e))
     t_phones, t_frames = tool_shapes(args.tiny)

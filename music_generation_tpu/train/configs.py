@@ -19,7 +19,8 @@ DECODERS = ("hifigan", "istft", "mb_istft")
 
 
 def build_svs_config(tiny: bool = False, decoder: str = "hifigan",
-                     nsf: bool = False) -> SVSConfig:
+                     nsf: bool = False,
+                     f0_residual: bool = False) -> SVSConfig:
     """One SVSConfig for trainer + tools; raises on invalid combinations."""
     if decoder not in DECODERS:
         raise ValueError(f"decoder must be one of {DECODERS}, got {decoder!r}")
@@ -48,6 +49,8 @@ def build_svs_config(tiny: bool = False, decoder: str = "hifigan",
             cfg = dataclasses.replace(cfg, decoder_type=decoder)
     if nsf:
         cfg = dataclasses.replace(cfg, nsf=True)
+    if f0_residual:
+        cfg = dataclasses.replace(cfg, f0_residual=True)
     return cfg
 
 

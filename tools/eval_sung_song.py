@@ -148,6 +148,10 @@ def main():
                         "process (one restore, shared startup); --out then "
                         "holds a list and --wav-out the free-running "
                         "predict-mode song")
+    p.add_argument("--f0-residual", action="store_true",
+                   help="checkpoint was trained with --f0-residual "
+                        "(SVSConfig.f0_residual; same param tree, but "
+                        "inference must add the note-lf0 base)")
     p.add_argument("--out", default=None)
     p.add_argument("--wav-out", default=None)
     args = p.parse_args()
@@ -164,7 +168,7 @@ def main():
 
     try:
         cfg = build_svs_config(tiny=args.tiny, decoder=args.decoder,
-                               nsf=args.nsf)
+                               nsf=args.nsf, f0_residual=args.f0_residual)
     except ValueError as e:
         p.error(str(e))
     if args.f0 != "predict":

@@ -39,6 +39,11 @@ def main():
                    choices=("hifigan", "istft", "mb_istft"),
                    help="must match the trainer's --decoder or the orbax "
                         "restore target tree mismatches")
+    p.add_argument("--f0-residual", action="store_true",
+                   help="checkpoint was trained with --f0-residual (the F0 "
+                        "head is a deviation around the note pitch; the "
+                        "param tree is unchanged but inference must add "
+                        "the note-lf0 base)")
     p.add_argument("--speakers", type=int, nargs="+", default=[0])
     args = p.parse_args()
 
@@ -52,7 +57,7 @@ def main():
 
     try:
         cfg = build_svs_config(tiny=args.tiny, decoder=args.decoder,
-                               nsf=args.nsf)
+                               nsf=args.nsf, f0_residual=args.f0_residual)
     except ValueError as e:
         p.error(str(e))
     t_phones, t_frames = tool_shapes(args.tiny)
