@@ -34,8 +34,8 @@ class ServiceConfig:
     max_batch_sentences: int = 16
     # parity with server_configs/config_music_generation.yaml:12 — the
     # reference declares a TLS cert path but never terminates TLS with it;
-    # accepted (so reference config files load unmodified) and unused here
-    # the same way
+    # here the same field DOES enable HTTPS (serve.app make_http_server
+    # wraps the listener with an ssl.SSLContext when set)
     cert_file_path: Optional[str] = None
 
     @classmethod

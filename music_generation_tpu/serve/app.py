@@ -203,7 +203,17 @@ class MusicGenerationService:
             return {"code": 203, "message": "服务器错误，歌声合成出错！"}
 
 
-def make_http_server(service: MusicGenerationService, host: str, port: int):
+def make_http_server(service: MusicGenerationService, host: str, port: int,
+                     cert_file: Optional[str] = None,
+                     key_file: Optional[str] = None):
+    """ThreadingHTTPServer for the service; HTTPS when cert_file is given.
+
+    The reference declares `cert_file_path` in its server config
+    (server_configs/config_music_generation.yaml:12) but never terminates
+    TLS with it; here the same field actually enables TLS. `cert_file` is a
+    PEM certificate (chain); `key_file` is its private key, or None when the
+    key is appended to the cert PEM.
+    """
     class Handler(BaseHTTPRequestHandler):
         # chunked transfer (the streaming endpoint) requires HTTP/1.1;
         # every non-streaming response already sets Content-Length, so
@@ -363,7 +373,13 @@ def make_http_server(service: MusicGenerationService, host: str, port: int):
         def log_message(self, fmt, *args):
             service.logger.info("%s - %s", self.address_string(), fmt % args)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    if cert_file:
+        import ssl
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(cert_file, keyfile=key_file)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    return server
 
 
 def main(argv=None):
@@ -414,6 +430,13 @@ def main(argv=None):
                         help="checkpoints were trained with train "
                              "--f0-residual (the F0 head is a deviation "
                              "around the note pitch; SVSConfig.f0_residual)")
+    parser.add_argument("--cert-file", default=None,
+                        help="PEM certificate: serve HTTPS (the reference's "
+                             "cert_file_path config field, actually "
+                             "terminated here)")
+    parser.add_argument("--key-file", default=None,
+                        help="PEM private key for --cert-file (omit when "
+                             "the key is appended to the cert PEM)")
     parser.add_argument("--warmup", action="store_true",
                         help="synthesize one representative song before "
                              "accepting traffic so the common shape buckets "
@@ -519,8 +542,11 @@ def main(argv=None):
             songs.synthesize_song(warm_text)
             logger.info("staged-path warmup in %.1fs", time.time() - t0)
 
-    server = make_http_server(service, cfg.host, cfg.port)
-    logger.info("serving on %s:%d", cfg.host, cfg.port)
+    cert = args.cert_file or cfg.cert_file_path
+    server = make_http_server(service, cfg.host, cfg.port,
+                              cert_file=cert, key_file=args.key_file)
+    logger.info("serving on %s:%d%s", cfg.host, cfg.port,
+                " (TLS)" if cert else "")
     server.serve_forever()
 
 

@@ -80,6 +80,33 @@ def test_http_roundtrip(service):
         server.shutdown()
 
 
+def test_https_roundtrip(service, tmp_path):
+    """cert_file_path terminates TLS (reference declares the field at
+    server_configs/config_music_generation.yaml:12 but never uses it;
+    here it actually serves HTTPS)."""
+    import ssl
+    import subprocess
+    pem = tmp_path / "server.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(pem), "-out", str(pem), "-days", "1",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True)
+    server = make_http_server(service, "127.0.0.1", 0, cert_file=str(pem))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        with urllib.request.urlopen(f"https://127.0.0.1:{port}/healthz",
+                                    context=ctx) as r:
+            assert json.loads(r.read())["ok"] is True
+    finally:
+        server.shutdown()
+
+
 def test_fused_serving_path():
     """--fused: the service routes a lone request through the fused
     single-device-call synthesizer and falls back to the staged path under
