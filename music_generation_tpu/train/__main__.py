@@ -62,6 +62,11 @@ def main(argv=None):
                         "magnitude pressure to Nyquist; counters upsampler "
                         "imaging the 7600 Hz-capped mel loss can't see). "
                         "0/None = off (reference recipe parity)")
+    p.add_argument("--c-energy", type=float, default=None,
+                   help="squared log-RMS-ratio loudness weight (default "
+                        "TrainConfig.c_energy = 10; fixes the recipe's "
+                        "-6 dB convergence — round-4 rms_ratio 0.505). "
+                        "0 = off (strict VITS-recipe parity)")
     p.add_argument("--c-spec", type=float, default=None,
                    help="AE spec_predict L1 weight (default = c_mel); set "
                         "low to focus gradient on the vocoder once the "
@@ -156,6 +161,7 @@ def main(argv=None):
     for field, val in (("c_kl_rev", args.c_kl_rev), ("c_adv", args.c_adv),
                        ("c_fm", args.c_fm), ("c_mel", args.c_mel),
                        ("c_stft", args.c_stft),
+                       ("c_energy", args.c_energy),
                        ("c_spec", args.c_spec), ("learning_rate", args.lr),
                        ("warmup_steps", args.warmup_steps),
                        ("grad_clip_norm", args.grad_clip_norm),

@@ -86,6 +86,21 @@ def multires_stft_loss(y_fake, y_real,
     return total / len(resolutions)
 
 
+def energy_loss(y_fake, y_real, eps: float = 1e-4):
+    """Squared log-RMS ratio between generated and real segments.
+
+    Direct loudness supervision: the VITS-style recipe (mel L1 + LSGAN +
+    FM) leaves absolute energy under-constrained — round-4 toy runs
+    converged to reconstructions at ~0.5x the target RMS (-6 dB;
+    artifacts/toy_gan_quality.json rms_ratio_rec_vs_ref 0.505) with no
+    loss term objecting. The log-ratio form is symmetric in over/under
+    shooting and scale-free; eps floors both RMS values so near-silent
+    segments stay bounded (|log ratio| <= ~log(1/eps))."""
+    rms_f = jnp.sqrt(jnp.mean(y_fake ** 2, axis=-1)) + eps
+    rms_r = jnp.sqrt(jnp.mean(y_real ** 2, axis=-1)) + eps
+    return jnp.mean(jnp.log(rms_f / rms_r) ** 2)
+
+
 def feature_matching_loss(fmap_real, fmap_gen):
     loss = 0.0
     for fr, fg in zip(fmap_real, fmap_gen):

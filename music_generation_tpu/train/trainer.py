@@ -67,6 +67,14 @@ class TrainConfig:
     # fs/2 - f0 tone on the NSF decoder). 0 = off (reference recipe parity);
     # ~2.5 gives it loss-scale comparable to c_mel*melL1 late in training.
     c_stft: float = 0.0
+    # squared log-RMS-ratio loudness loss (losses.energy_loss). ON by
+    # default: without it the recipe converges ~-6 dB quiet (round-4
+    # measured rms_ratio 0.505) because mel L1 under-prices a uniform
+    # amplitude deficit relative to its cost in adversarial texture. At
+    # ratio 0.5 the raw term is log(0.5)^2 ~ 0.48; weight 10 makes it
+    # comparable to loss_adv (~6) until closed, then it vanishes
+    # quadratically. Set 0 for strict VITS-recipe parity.
+    c_energy: float = 10.0
     seed: int = 1234
     grad_clip: float = 500.0
     # global-norm clip + LR warmup: the random-init KL/reverse-KL transient
@@ -275,7 +283,11 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
         # DC-drift penalty: see TrainConfig.c_dc
         l_dc = jnp.mean(jnp.mean(out["audio"][..., 0], axis=1) ** 2) \
             * train_cfg.c_dc
-        total = l_mel + l_kl + l_kl_rev + l_dur + l_f0 + l_adv + l_fm + l_dc
+        # loudness supervision: see TrainConfig.c_energy / losses.energy_loss
+        l_energy = losses.energy_loss(out["audio"][..., 0],
+                                      y_real[..., 0]) * train_cfg.c_energy
+        total = l_mel + l_kl + l_kl_rev + l_dur + l_f0 + l_adv + l_fm \
+            + l_dc + l_energy
         if train_cfg.c_stft > 0:
             l_stft = losses.multires_stft_loss(
                 out["audio"][..., 0], y_real[..., 0]) * train_cfg.c_stft
@@ -283,7 +295,7 @@ def make_train_step(gen: VISinger, disc: MultiPeriodDiscriminator,
         metrics = {"loss_gen": total, "loss_mel": l_mel, "loss_kl": l_kl,
                    "loss_kl_rev": l_kl_rev, "loss_dur": l_dur,
                    "loss_f0": l_f0, "loss_adv": l_adv, "loss_fm": l_fm,
-                   "loss_dc": l_dc,
+                   "loss_dc": l_dc, "loss_energy": l_energy,
                    **({"loss_stft": l_stft} if train_cfg.c_stft > 0 else {}),
                    # tanh-saturation telemetry: a healthy decoder stays well
                    # inside |y|<0.95; sat_frac ramping toward 1 is the

@@ -347,6 +347,41 @@ def test_log_images_alignment_staircase():
     assert (np.diff(rows) >= 0).all()
 
 
+def test_energy_loss():
+    """losses.energy_loss: zero for identical audio, ~log(0.5)^2 for a
+    -6 dB reconstruction (the round-4 failure mode), symmetric in
+    over/undershoot, bounded on silence."""
+    from music_generation_tpu.train import losses
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32) * 0.3)
+    assert float(losses.energy_loss(y, y)) < 1e-6
+    half = float(losses.energy_loss(0.5 * y, y))
+    np.testing.assert_allclose(half, np.log(0.5) ** 2, rtol=1e-2)
+    double = float(losses.energy_loss(2.0 * y, y))
+    np.testing.assert_allclose(double, half, rtol=2e-2)  # symmetric
+    silent = float(losses.energy_loss(jnp.zeros_like(y), y))
+    assert np.isfinite(silent) and silent < np.log(1e4) ** 2
+
+
+def test_energy_loss_in_train_step(setup):
+    """The default recipe now carries loss_energy (loudness supervision;
+    TrainConfig.c_energy) — present, finite, and removable via c_energy=0."""
+    import dataclasses
+    batch, gen_state, disc_state, _ = setup
+    from music_generation_tpu.train import make_train_step as mts
+    from music_generation_tpu.models.svs import (MultiPeriodDiscriminator,
+                                                 VISinger)
+    gen, disc = VISinger(TINY), MultiPeriodDiscriminator()
+    step = jax.jit(mts(gen, disc, TINY, TrainConfig()))
+    _, _, m = step(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    assert "loss_energy" in m and np.isfinite(float(m["loss_energy"]))
+    assert float(m["loss_energy"]) > 0  # random init is not level-matched
+    off = jax.jit(mts(gen, disc, TINY,
+                      dataclasses.replace(TrainConfig(), c_energy=0.0)))
+    _, _, m0 = off(gen_state, disc_state, batch, jax.random.PRNGKey(0))
+    assert float(m0["loss_energy"]) == 0.0
+
+
 def test_stft_loss_train_step(setup):
     """--c-stft: the opt-in multi-resolution STFT loss (full-band magnitude
     pressure to Nyquist — the 7600 Hz-capped mel loss can't see upsampler

@@ -166,10 +166,20 @@ def main():
         # mel/F0 numbers in a committed artifact
         sat["dc_railed"] = bool(abs(sat["audio_dc"]) > 0.5
                                 or sat["audio_sat_frac"] > 0.5)
+        # loudness verdict: reconstructions must land within ~2 dB of the
+        # target's RMS (0.8..1.25) — round 4 silently shipped a -6 dB
+        # (ratio 0.505) checkpoint; TrainConfig.c_energy now trains this
+        # closed and the eval flags any regression.
+        sat["rms_in_band"] = bool(0.8 < sat["rms_ratio_rec_vs_ref"] < 1.25)
         if sat["dc_railed"]:
             print("WARNING: reconstruction is DC-railed/saturated — the "
                   "mel-L1 and F0 numbers below are NOT valid quality "
                   "evidence", file=sys.stderr)
+        if not sat["rms_in_band"]:
+            print(f"WARNING: reconstruction loudness is off-target "
+                  f"(rms_ratio {sat['rms_ratio_rec_vs_ref']}, band "
+                  f"0.8-1.25) — quality numbers describe an audibly "
+                  f"mis-leveled output", file=sys.stderr)
         result = {"ckpt": ckpt, "n_utts": args.n,
                   "mel_l1_trained": round(trained_l1, 4),
                   "mel_l1_audible_trained": round(trained_l1_floored, 4),
