@@ -21,6 +21,22 @@ from .dataset import preprocess_transcriptions
 
 # pentatonic C major around C4
 _TOY_NOTES = ("C4", "D4", "E4", "G4", "A4")
+
+#: Voice profiles for the multispeaker axis (reference: three separately
+#: trained voices dispatched by singer_id,
+#: pipline_inference_svs_v6_multispeaker.py:166-171,232-239). Each voice is
+#: (harmonic amplitudes, semitone shift of the AUDIO relative to the written
+#: score). "bright" is the original single-voice render, bit-for-bit. "deep"
+#: sings an octave below the written note with energy concentrated in the
+#: fundamental — a timbrally dark, low-register voice; trained with
+#: --f0-residual the model learns the -12 st register as a constant
+#: deviation, so the served melody comes out an octave down (the YIN
+#: preprocessing extracts F0 from the rendered audio, keeping the training
+#: targets self-consistent).
+VOICES = {
+    "bright": {"harmonics": (0.6, 0.25, 0.1), "shift": 0},
+    "deep": {"harmonics": (0.8, 0.12, 0.04), "shift": -12},
+}
 _TOY_SYLLABLES = ("ni", "hao", "shi", "jie", "tian", "di", "ren", "he")
 _NOTE_HZ = {"C4": 261.63, "D4": 293.66, "E4": 329.63, "G4": 392.0,
             "A4": 440.0}
@@ -32,9 +48,13 @@ _SYL_TEXT = {"ni": "你", "hao": "好", "shi": "世", "jie": "界", "tian": "天
              "di": "地", "ren": "人", "he": "和"}
 
 
-def _render_score(notes, durs, sample_rate: int) -> np.ndarray:
+def _render_score(notes, durs, sample_rate: int,
+                  voice: str = "bright") -> np.ndarray:
     """Harmonic stack following the note pitches, 5 Hz vibrato, per-note
-    attack/decay envelope."""
+    attack/decay envelope; harmonic weights and register come from the
+    ``voice`` profile (VOICES)."""
+    prof = VOICES[voice]
+    amps, shift = prof["harmonics"], prof["shift"]
     total = int(sum(durs) * sample_rate)
     wav = np.zeros(total, np.float32)
     t0 = 0.0
@@ -45,10 +65,10 @@ def _render_score(notes, durs, sample_rate: int) -> np.ndarray:
         if n <= 0:
             break
         t = np.arange(n) / sample_rate
-        f0 = _NOTE_HZ[note] * (1.0 + 0.005 * np.sin(2 * np.pi * 5.0 * t))
+        hz = _NOTE_HZ[note] * (2.0 ** (shift / 12.0))
+        f0 = hz * (1.0 + 0.005 * np.sin(2 * np.pi * 5.0 * t))
         phase = 2 * np.pi * np.cumsum(f0) / sample_rate
-        seg = (0.6 * np.sin(phase) + 0.25 * np.sin(2 * phase)
-               + 0.1 * np.sin(3 * phase))
+        seg = sum(a * np.sin((k + 1) * phase) for k, a in enumerate(amps))
         env = np.minimum(t / 0.02, 1.0) * np.minimum((dur - t) / 0.05, 1.0)
         wav[i0: i0 + n] += (seg * np.clip(env, 0, 1)).astype(np.float32)
         t0 += dur
@@ -57,7 +77,7 @@ def _render_score(notes, durs, sample_rate: int) -> np.ndarray:
 
 def make_toy_dataset(out_dir: str, n_utts: int = 32, syllables: int = 6,
                      sample_rate: int = 22050, hop: int = 256,
-                     seed: int = 0) -> str:
+                     seed: int = 0, voice: str = "bright") -> str:
     """Write wavs + transcriptions and preprocess them into ``out_dir``/npy.
     Returns the preprocessed directory path."""
     rng = np.random.RandomState(seed)
@@ -70,7 +90,7 @@ def make_toy_dataset(out_dir: str, n_utts: int = 32, syllables: int = 6,
         syls = [str(rng.choice(_TOY_SYLLABLES)) for _ in range(syllables)]
         notes = [str(rng.choice(_TOY_NOTES)) for _ in range(syllables)]
         durs = rng.uniform(0.25, 0.5, syllables).round(2)
-        wav = _render_score(notes, durs, sample_rate)
+        wav = _render_score(notes, durs, sample_rate, voice=voice)
         name = f"toy{i:04d}"
         write_wav(os.path.join(wav_dir, f"{name}.wav"),
                   wav * 24000.0, sample_rate)
@@ -106,10 +126,15 @@ def main(argv=None):
     p.add_argument("--hop", type=int, default=256)
     p.add_argument("--sample-rate", type=int, default=22050)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--voice", default="bright", choices=sorted(VOICES),
+                   help="voice profile (harmonics + register); train one "
+                        "model per voice and serve them behind singer_id "
+                        "for the multispeaker axis")
     args = p.parse_args(argv)
     npy = make_toy_dataset(args.out_dir, n_utts=args.n,
                            syllables=args.syllables, hop=args.hop,
-                           sample_rate=args.sample_rate, seed=args.seed)
+                           sample_rate=args.sample_rate, seed=args.seed,
+                           voice=args.voice)
     print(f"toy dataset -> {npy}")
 
 

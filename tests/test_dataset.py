@@ -80,3 +80,35 @@ def test_packed_dataset_matches_npy(tmp_path):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
     pk.close()
+
+
+def test_toy_voice_profiles_are_distinct():
+    """Multispeaker toy axis (VOICES): the "deep" voice renders the SAME
+    written score an octave below the "bright" voice with a darker
+    harmonic profile — measurably lower F0 and spectral centroid. This is
+    the training-data basis for the two differently-trained voices served
+    behind singer_id (reference: three model instances,
+    pipline_inference_svs_v6_multispeaker.py:166-171)."""
+    from music_generation_tpu.train.toydata import _render_score
+
+    sr = 22050
+    notes, durs = ["C4", "E4", "G4"], [0.4, 0.4, 0.4]
+    bright = _render_score(notes, durs, sr, voice="bright")
+    deep = _render_score(notes, durs, sr, voice="deep")
+    assert bright.shape == deep.shape
+
+    def centroid(w):
+        mag = np.abs(np.fft.rfft(w))
+        freqs = np.fft.rfftfreq(len(w), 1.0 / sr)
+        return float((mag * freqs).sum() / mag.sum())
+
+    c_b, c_d = centroid(bright), centroid(deep)
+    assert c_d < 0.6 * c_b  # darker timbre AND lower register
+
+    from music_generation_tpu.audio.f0 import yin_f0
+    f_b = yin_f0(bright, sample_rate=sr, hop=256)
+    f_d = yin_f0(deep, sample_rate=sr, hop=256)
+    med_b = float(np.median(f_b[f_b > 0]))
+    med_d = float(np.median(f_d[f_d > 0]))
+    # one octave apart (within half a semitone)
+    assert abs(12 * np.log2(med_b / med_d) - 12.0) < 0.5
