@@ -133,22 +133,112 @@ def _toy_melody_pairs_prev(n: int = 64, syllables: int = 6, seed: int = 0):
     return pairs
 
 
+# ---------------------------------------------------------------------------
+# Toy lyric grammar (CFG): PHRASE -> [ADJ] SUBJ (VT OBJ | VI).
+# The reference shipped corpus-trained LMs (Lyric_generator/checkpoint,
+# 21136-vocab GPT-2 + Mengzi-T5); no corpus survives in the snapshot, so the
+# toy corpus must itself be grammatical for the trained LMs to emit lines a
+# reader parses as sentences (round-4 keyword->song output was song-SHAPED
+# but char soup). Every lexicon entry is a >=2-char word; phrases compose
+# subject-verb-object song clichés, so lyric_grammar_check can verify that
+# generated text segments back into the grammar.
+_LYRIC_ADJS = ("温柔的", "遥远的", "年少的", "自由的")
+_LYRIC_SUBJECTS = ("月亮", "星星", "少年", "夏天", "清风", "大海",
+                   "时光", "梦想", "远方", "花朵")
+_LYRIC_VT = ("照亮", "吹过", "带走", "拥抱", "唱起", "飞过", "想起", "点亮")
+_LYRIC_VI = ("歌唱", "流浪", "闪耀", "绽放")
+_LYRIC_OBJECTS = ("我的心", "你的眼", "那片海", "这条路", "旧时光",
+                  "小村庄", "金麦浪", "夜空中")
+#: every word the grammar can emit (all >=2 chars), longest-first for the
+#: greedy segmenter in lyric_grammar_check
+LYRIC_WORDS = tuple(sorted(
+    _LYRIC_ADJS + _LYRIC_SUBJECTS + _LYRIC_VT + _LYRIC_VI + _LYRIC_OBJECTS,
+    key=len, reverse=True))
+_LYRIC_PUNCT = "，。！？、,.!? "
+
+
+def _toy_lyric_phrase(rng) -> str:
+    parts = []
+    if rng.rand() < 0.3:
+        parts.append(_LYRIC_ADJS[int(rng.randint(len(_LYRIC_ADJS)))])
+    parts.append(_LYRIC_SUBJECTS[int(rng.randint(len(_LYRIC_SUBJECTS)))])
+    if rng.rand() < 0.75:
+        parts.append(_LYRIC_VT[int(rng.randint(len(_LYRIC_VT)))])
+        parts.append(_LYRIC_OBJECTS[int(rng.randint(len(_LYRIC_OBJECTS)))])
+    else:
+        parts.append(_LYRIC_VI[int(rng.randint(len(_LYRIC_VI)))])
+    return "".join(parts)
+
+
 def _toy_lyric_lines(n: int = 128, seed: int = 0):
-    """Song-shaped toy lyrics: every example is 3-5 comma-separated phrases
-    closed with '。', so LMs trained on it learn sentence boundaries and
-    termination — the downstream pipeline splits on that punctuation
-    (pipeline/synthesis.py split_sentences) and a boundary-free LM collapses
-    a whole song into one giant sentence."""
+    """Song-shaped toy lyrics from the CFG above: every example is 3-5
+    comma-separated grammatical phrases closed with '。', so LMs trained on
+    it learn BOTH sentence boundaries/termination (the downstream pipeline
+    splits on that punctuation — pipeline/synthesis.py split_sentences) and
+    word-level structure a reader parses as sentences."""
     rng = np.random.RandomState(seed)
-    phrases = ["小小的天有大大的梦想", "月亮代表我的心", "宁静的夏天",
-               "天空中繁星点点", "风吹过麦浪", "我们一起歌唱",
-               "山间的清风", "海上的明月", "心中的远方", "少年的模样"]
     lines = []
     for _ in range(n):
-        k = 4 + int(rng.randint(3))
-        parts = [phrases[int(rng.randint(len(phrases)))] for _ in range(k)]
-        lines.append("，".join(parts) + "。")
+        k = 3 + int(rng.randint(3))
+        lines.append("，".join(_toy_lyric_phrase(rng)
+                               for _ in range(k)) + "。")
     return lines
+
+
+def lyric_grammar_check(text: str) -> dict:
+    """Structure check for generated lyrics against the toy CFG.
+
+    Reports per-phrase greedy-segmentation results over LYRIC_WORDS
+    (all >=2-char lexicon words):
+      - no_isolated_punct: no leading punctuation and no empty segment
+        between punctuation marks ('，，' / '唱，。' style degeneracy)
+      - phrases_with_word_frac: phrases containing >=1 lexicon word
+      - parsed_frac: phrases that segment COMPLETELY into lexicon words
+      - passed: no_isolated_punct AND every phrase has a word AND a
+        majority (>=0.5) of phrases parse fully
+    """
+    phrases, cur = [], []
+    no_isolated = bool(text) and text[0] not in _LYRIC_PUNCT
+    prev_punct = False
+    for ch in text.strip():
+        if ch in _LYRIC_PUNCT:
+            if prev_punct:
+                no_isolated = False
+            if cur:
+                phrases.append("".join(cur))
+                cur = []
+            prev_punct = True
+        else:
+            cur.append(ch)
+            prev_punct = False
+    if cur:  # unterminated trailing phrase still gets judged
+        phrases.append("".join(cur))
+
+    def segment(phrase):
+        i, words, clean = 0, [], True
+        while i < len(phrase):
+            for w in LYRIC_WORDS:
+                if phrase.startswith(w, i):
+                    words.append(w)
+                    i += len(w)
+                    break
+            else:
+                clean = False
+                i += 1
+        return words, clean
+
+    segs = [segment(ph) for ph in phrases]
+    n = len(phrases)
+    with_word = sum(1 for w, _ in segs if w)
+    full = sum(1 for w, c in segs if w and c)
+    return {
+        "n_phrases": n,
+        "no_isolated_punct": no_isolated,
+        "phrases_with_word_frac": round(with_word / n, 4) if n else 0.0,
+        "parsed_frac": round(full / n, 4) if n else 0.0,
+        "passed": bool(n and no_isolated and with_word == n
+                       and full / n >= 0.5),
+    }
 
 
 class _MelodyBatcher:

@@ -123,3 +123,24 @@ def test_telemelody_trains_on_transcriptions(tmp_path):
                           data=str(f), log_every=100)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.97, (losses[0], losses[-1])
+
+
+def test_toy_lyric_grammar():
+    """The toy lyric corpus is CFG-generated (subject-verb-object song
+    clichés from a >=2-char-word lexicon) and lyric_grammar_check verifies
+    both directions: every corpus line parses fully; char-soup and
+    isolated-punctuation degeneracies fail (reference product bar:
+    corpus-trained LMs emit readable lines, Lyric_generator/generator.py)."""
+    from music_generation_tpu.train.seq import (_toy_lyric_lines,
+                                                lyric_grammar_check)
+    for line in _toy_lyric_lines(n=64, seed=3):
+        c = lyric_grammar_check(line)
+        assert c["passed"] and c["parsed_frac"] == 1.0, (line, c)
+        assert 3 <= c["n_phrases"] <= 5
+    # round-4's actual served output (char soup) must fail
+    assert not lyric_grammar_check("麦上浪心中，唱，中繁星代玜")["passed"]
+    # isolated punctuation fails even with in-grammar words
+    assert not lyric_grammar_check("，月亮照亮我的心。")["passed"]
+    assert not lyric_grammar_check("月亮照亮我的心，，星星闪耀。")["passed"]
+    # a well-formed unseen sentence passes
+    assert lyric_grammar_check("遥远的大海拥抱旧时光，星星闪耀。")["passed"]
