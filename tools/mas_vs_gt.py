@@ -71,11 +71,21 @@ def main():
                       "mel_l1_gt": gl, "mel_l1_mas": ml,
                       "ratio": round(ml / max(gl, 1e-9), 4)})
     mean_ratio = sum(x["ratio"] for x in pairs) / len(pairs)
+    max_ratio = max(x["ratio"] for x in pairs)
+    # the criterion is per-pair (round-4 lesson: averaging let one
+    # favorable step mask two failing ones); the mean is reported as
+    # context only
     result = {
         "pairs": pairs,
         "mean_mas_over_gt_ratio": round(mean_ratio, 4),
-        "within_tolerance": bool(mean_ratio <= 1.0 + args.tolerance),
+        "max_mas_over_gt_ratio": round(max_ratio, 4),
+        "all_pairs_within_tolerance": bool(
+            max_ratio <= 1.0 + args.tolerance),
         "tolerance": args.tolerance,
+        "summary": (f"MAS-trained mel-L1 within "
+                    f"{max(0.0, (max_ratio - 1.0)) * 100:.0f}% of "
+                    f"ground-truth-duration training on every evaluated "
+                    f"step pair"),
         "gt_eval": gt,
         "mas_eval": mas,
     }
