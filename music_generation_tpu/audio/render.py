@@ -19,9 +19,20 @@ from .midi import Note, Track
 
 SAMPLE_RATE = 22050
 
-# harmonic amplitudes per instrument class
-_PIANO_PARTIALS = (1.0, 0.5, 0.33, 0.2, 0.12)
-_STRING_PARTIALS = (1.0, 0.7, 0.45, 0.3, 0.22, 0.15)
+# harmonic amplitudes per instrument class. The piano stack carries more
+# partials with per-partial decay (struck-string physics below); the string
+# stack is a bowed-style ~1/k rolloff rendered as a detuned voice pair.
+_PIANO_PARTIALS = (1.0, 0.62, 0.4, 0.26, 0.18, 0.12, 0.08, 0.05)
+_STRING_PARTIALS = (1.0, 0.55, 0.38, 0.28, 0.2, 0.14, 0.1)
+# piano inharmonicity coefficient: partial k sounds at k*f*sqrt(1 + B*k^2)
+# (stiff-string dispersion) — the slight upper-partial stretch is a large
+# part of why a real piano doesn't sound like an organ
+_PIANO_B = 3e-4
+# string section: two voices detuned +/- this many cents, 5.5 Hz vibrato
+# fading in over ~0.25 s
+_STRING_DETUNE_CENTS = 5.0
+_STRING_VIBRATO_HZ = 5.5
+_STRING_VIBRATO_CENTS = 18.0
 
 
 def _is_sustained(program: int) -> bool:
@@ -57,22 +68,34 @@ def render_notes(starts: np.ndarray, ends: np.ndarray, pitches: np.ndarray,
         t = (np.arange(span)[None, :] / sample_rate)
         note_len = (e - s)[:, None]
         active = t < note_len + release
-        # envelope: attack ramp, then sustain or exponential decay, then
-        # release after note-off
+        # envelope: attack ramp, then sustain or struck decay, then release
+        # after note-off; the per-PARTIAL decay/vibrato detail lives in the
+        # k loop below
         env = np.minimum(t / attack, 1.0)
-        if sustained:
-            env = env * np.where(t < note_len, 1.0,
-                                 np.maximum(1.0 - (t - note_len) / release,
-                                            0.0))
-        else:
-            tau = np.maximum(note_len, 0.3)  # per-note decay constant
-            env = env * np.exp(-2.0 * t / tau)
-            env = env * np.where(t < note_len, 1.0,
-                                 np.maximum(1.0 - (t - note_len) / release,
-                                            0.0))
+        env = env * np.where(t < note_len, 1.0,
+                             np.maximum(1.0 - (t - note_len) / release, 0.0))
         wave = np.zeros_like(t * f[:, None])
-        for k, pk in enumerate(partials, start=1):
-            wave += pk * np.sin(2 * np.pi * f[:, None] * k * t)
+        if sustained:
+            # bowed-string section: two voices detuned +/- a few cents with
+            # a shared vibrato that fades in — the beating + pitch motion is
+            # what reads as "strings" rather than "sine organ"
+            det = 2.0 ** (_STRING_DETUNE_CENTS / 1200.0)
+            vib = (_STRING_VIBRATO_CENTS / 1200.0 * np.log(2.0)
+                   * np.minimum(t / 0.25, 1.0)
+                   * np.sin(2 * np.pi * _STRING_VIBRATO_HZ * t))
+            for k, pk in enumerate(partials, start=1):
+                ph = 2 * np.pi * f[:, None] * k * t * (1.0 + vib)
+                wave += pk * 0.5 * (np.sin(ph * det) + np.sin(ph / det))
+        else:
+            # struck string (piano-class): inharmonically stretched partials
+            # (stiff-string dispersion), higher partials decaying faster —
+            # the attack is bright, the tail darkens like a real hammer note
+            tau = np.maximum(note_len, 0.3)
+            for k, pk in enumerate(partials, start=1):
+                stretch = k * np.sqrt(1.0 + _PIANO_B * k * k)
+                decay = np.exp(-(1.2 + 0.55 * k) * t / tau)
+                wave += pk * decay * np.sin(
+                    2 * np.pi * f[:, None] * stretch * t)
         wave *= env * active * a[:, None]
         for j in range(hi - lo):
             n = min(span, total_samples - i0[j])
