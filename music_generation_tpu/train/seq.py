@@ -486,7 +486,7 @@ class _LyricBatcher:
 
     - gpt2: '[CLS] kw [SEP] <style> [SEP] text <结束>'
       (LyricGeneratorGPT2.generate prompt layout)
-    - t5:   src '关键词：{kw} 长度：15', tgt 'text <eos>'
+    - t5:   src '关键词：{kw} 长度：{len(text)} <eos>', tgt 'text <eos>'
       (LyricGeneratorT5.generate prompt layout)
     """
 
@@ -514,7 +514,15 @@ class _LyricBatcher:
                 enc = tok.encode(self.lines[p]) + [tok.eos_id]
             enc = enc[: self.t]
             ids[i, : len(enc)] = enc
-            kenc = tok.encode(f"关键词：{kw} 长度：15")[:16]
+            # EXACT serving prompt (LyricGeneratorT5.generate: length goes
+            # into the prompt, reference convention, and the encoder input
+            # is EOS-terminated). Using each line's true length trains the
+            # digit embeddings the length slot can see at inference; a
+            # hardcoded 长度：15 left e.g. '0'/'3' random-init, and one bad
+            # draw on those noise states made the decoder emit EOS
+            # immediately (empty lyrics).
+            kenc = (tok.encode(f"关键词：{kw} 长度：{len(self.lines[p])}")
+                    + [tok.eos_id])[:16]
             src[i, : len(kenc)] = kenc
         return {"ids": ids, "src": src, "tgt": ids}
 

