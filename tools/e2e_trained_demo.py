@@ -348,17 +348,26 @@ def main(argv=None):
         # samples candidates and keeps the best; the demo does the same,
         # scoring each draw with the STRICT structure check it must then
         # pass (rerank selects, the assert still judges).
-        gen_text, best_score = "", (-1.0, -1.0, -1.0)
-        for _ in range(8):
+        from music_generation_tpu.pipeline import split_sentences as _split
+
+        def _cand_score(cand):
+            # mirror EVERY downstream assert: song shape (>=4 sentences),
+            # grammar structure, then parse quality
+            sc = lyric_grammar_check(cand)
+            n_sent = len(_split(cand))
+            return (float(sc["passed"] and n_sent >= 4),
+                    float(n_sent >= 4), float(sc["passed"]),
+                    sc["parsed_frac"], sc["phrases_with_word_frac"])
+
+        gen_text, best_score = "", (-1.0,) * 5
+        for _ in range(12):
             cand = lyric_gen.generate(keyword, length=30).replace("-", "")
             if len(cand.strip()) < 12:
                 continue
-            sc = lyric_grammar_check(cand)
-            score = (float(sc["passed"]), sc["parsed_frac"],
-                     sc["phrases_with_word_frac"])
+            score = _cand_score(cand)
             if score > best_score:
                 gen_text, best_score = cand, score
-            if sc["passed"]:
+            if score[0] == 1.0:
                 break
         corpus_chars = set("".join(corpus))
         gen_core = [c for c in gen_text if c.strip()]
